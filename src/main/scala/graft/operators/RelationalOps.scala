@@ -1,0 +1,471 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+
+/** Relational operator surface of the engine, one named query per [SQL]
+  * operator in SURVEY.md §2, patterned onto the driver's TPC-H-ish testdata
+  * (FIXTURES.md §2). Every query is declarative DataFrame API — Catalyst
+  * plans scans with column pruning + predicate pushdown, picks broadcast
+  * joins for the small dimension sides, and AQE re-plans shuffles at scale.
+  *
+  * Determinism contract: every result carries a unique ORDER BY and every
+  * computed double is rounded, so the DuckDB oracle hash-compares stably.
+  */
+object RelationalOps {
+
+  /** Deterministic seeded pseudo-random order, expressible identically in
+    * Spark and ANSI SQL (Knuth multiplicative hash — public domain, TAOCP
+    * vol.3 §6.4). Replaces `np.random.choice(seed)` of the reference
+    * (`TCGA_Auxiliary/Data_prep.py:16-58`) with a scalable, reproducible
+    * ordering: exact per-class counts, no RNG state, no driver involvement.
+    */
+  def knuthHash(key: Column, seed: Long): Column =
+    pmod(key * lit(2654435761L) + lit(seed), lit(4294967296L))
+
+  private def knuthSql(key: String, seed: Long): String =
+    s"(($key * 2654435761 + $seed) % 4294967296)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- §2.1 scans ------------------------------------------------------
+    // S1/S2: matrix scan with projection + predicate; at scale the filter
+    // and the 2-column ReadSchema must reach the parquet scan
+    // (ref: Simulation_Models/CNC_AE_model_selection.py:507-508).
+    QueryDef(
+      "s1_scan_project",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem WHERE l_quantity > 45
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // S3: small full-table scan (label file analog).
+    QueryDef(
+      "s3_label_scan",
+      (s, d) => T.region(s, d).orderBy("r_regionkey"),
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // ---- §2.2 projections / filters -------------------------------------
+    // P1: row selection by key-set → left-semi join (Data_prep.py:65-68).
+    QueryDef(
+      "p1_semi_join",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              ORDER BY c_custkey""")),
+
+    // P2: per-class partition by label equality (Data_prep.py:26-38).
+    QueryDef(
+      "p2_label_filter",
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")),
+
+    // P4/P5: column drop + rename (CNC_AE_model_selection.py:515-516,
+    // AE_results.ipynb cell 7).
+    QueryDef(
+      "p4_drop_rename",
+      (s, d) => T.part(s, d)
+        .drop("p_retailprice", "p_size")
+        .withColumnRenamed("p_name", "part_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name AS part_name, p_brand, p_type
+              FROM part ORDER BY p_partkey""")),
+
+    // ---- §2.3 joins / set ops -------------------------------------------
+    // J1: key-aligned equi-join of two views
+    // (Simulation_Models/CNC_AE_model_selection.py:510-518). Catalyst picks
+    // broadcast-hash for the small side; at 100 TB AQE switches to SMJ.
+    QueryDef(
+      "j1_equi_join",
+      (s, d) => T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_orderkey""")),
+
+    // J2: anti-join for held-out keys (Data_prep.py:56).
+    QueryDef(
+      "j2_anti_join",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey""")),
+
+    // J4: index union + distinct (AE_results.ipynb cell 52).
+    QueryDef(
+      "j4_union_distinct",
+      (s, d) => {
+        val o = T.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .union(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+          .distinct()
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+              ORDER BY o_custkey""")),
+
+    // J5: keyed horizontal concat of per-model tables → full outer join
+    // (AE_results.ipynb cell 53). Two per-segment aggregate tables joined
+    // on the key; nulls where a side is missing.
+    QueryDef(
+      "j5_outer_concat",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val a = c.filter(col("c_acctbal") > 5000).groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rich"))
+        val b = c.filter(col("c_acctbal") < 0).groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_debt"))
+        a.join(b, Seq("c_mktsegment"), "full_outer").orderBy("c_mktsegment")
+      },
+      Some("""SELECT COALESCE(a.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+                     a.n_rich, b.n_debt
+              FROM (SELECT c_mktsegment, count(*) AS n_rich FROM customer
+                    WHERE c_acctbal > 5000 GROUP BY 1) a
+              FULL OUTER JOIN
+                   (SELECT c_mktsegment, count(*) AS n_debt FROM customer
+                    WHERE c_acctbal < 0 GROUP BY 1) b
+              USING (c_mktsegment)
+              ORDER BY c_mktsegment""")),
+
+    // J6: vertical concat / batch union (AE_results.ipynb cell 15).
+    QueryDef(
+      "j6_union_all",
+      (s, d) => {
+        val o = T.orders(s, d)
+        o.filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"), lit("high").as("bucket"))
+          .unionByName(o.filter(col("o_totalprice") < 1000)
+            .select(col("o_orderkey"), lit("low").as("bucket")))
+          .orderBy("o_orderkey", "bucket")
+      },
+      Some("""SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+              UNION ALL
+              SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 1000
+              ORDER BY o_orderkey, bucket""")),
+
+    // ---- §2.4 deterministic splits (SP1/SP2 via W1/W2) ------------------
+    // SP1: stratified 80/20 split, exact per-class counts, seeded
+    // (TCGA_Auxiliary/Data_prep.py:16-58). Window over a seeded hash order:
+    // scales to any class size without collecting keys to the driver.
+    QueryDef(
+      "sp1_stratified_split",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(knuthHash(col("c_custkey"), 42), col("c_custkey"))
+        val wc = Window.partitionBy("c_mktsegment")
+        T.customer(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .filter(col("rn") <= round(col("cnt") * 0.8))
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_mktsegment FROM (
+                 SELECT c_custkey, c_mktsegment,
+                        row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY ${knuthSql("c_custkey", 42)}, c_custkey) AS rn,
+                        count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+                 FROM customer)
+               WHERE rn <= round(cnt * 0.8)
+               ORDER BY c_custkey""")),
+
+    // SP2: k-fold assignment, k=5, seeded shuffle
+    // (CNC_AE_model_selection.py:346-358).
+    QueryDef(
+      "sp2_fold_assign",
+      (s, d) => {
+        val w = Window.orderBy(knuthHash(col("c_custkey"), 21), col("c_custkey"))
+        T.customer(s, d)
+          .withColumn("fold", pmod(row_number().over(w) - 1, lit(5)))
+          .select("c_custkey", "fold")
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey,
+                      (row_number() OVER (ORDER BY ${knuthSql("c_custkey", 21)}, c_custkey) - 1) % 5 AS fold
+               FROM customer ORDER BY c_custkey""")),
+
+    // ---- §2.5 aggregations ----------------------------------------------
+    // A1: per-group min/max fit + rescale (MinMaxScaler,
+    // TCGA_Auxiliary/Data_prep.py:72-76). Window min/max is exact (no
+    // summation-order drift), so the rescaled doubles hash-match.
+    QueryDef(
+      "a1_minmax_rescale",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+        T.lineitem(s, d)
+          .withColumn("mn", min("l_extendedprice").over(w))
+          .withColumn("mx", max("l_extendedprice").over(w))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")), 6)
+              .as("scaled"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round((l_extendedprice - min(l_extendedprice) OVER w)
+                         / (max(l_extendedprice) OVER w - min(l_extendedprice) OVER w), 6)
+                       AS scaled
+              FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // A2: per-class counts (Data_prep.py:40-52).
+    QueryDef(
+      "a2_group_count",
+      (s, d) => T.customer(s, d).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // A3: mean/std over grouped values — NumPy std is population std
+    // (AE_results.ipynb cells 26/28/38) → stddev_pop, not stddev_samp.
+    QueryDef(
+      "a3_mean_std",
+      (s, d) => T.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(avg("l_quantity"), 4).as("mean_qty"),
+          round(stddev_pop("l_quantity"), 4).as("std_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(avg(l_quantity), 4) AS mean_qty,
+                     round(stddev_pop(l_quantity), 4) AS std_qty, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // A4: row-wise mean of k columns (AE_results.ipynb cell 57).
+    QueryDef(
+      "a4_row_mean",
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round((col("l_discount") + col("l_tax")) / 2, 6).as("row_mean"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round((l_discount + l_tax) / 2, 6) AS row_mean
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // A5+W3+O2: best row per group by metric — row_number over ordered
+    // window = 1 (AE_results.ipynb cells 50/57). Cheapest supplier/nation.
+    QueryDef(
+      "a5_best_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("s_nationkey")
+          .orderBy(col("s_acctbal"), col("s_suppkey"))
+        T.supplier(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("s_nationkey", "s_suppkey", "s_acctbal")
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+                SELECT s_nationkey, s_suppkey, s_acctbal,
+                       row_number() OVER (PARTITION BY s_nationkey
+                         ORDER BY s_acctbal, s_suppkey) AS rk
+                FROM supplier)
+              WHERE rk = 1 ORDER BY s_nationkey""")),
+
+    // A6: contingency table (confusion-matrix analog,
+    // Simulation_Auxiliary/evaluation.py:44).
+    QueryDef(
+      "a6_contingency",
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+              FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // A6-pivot: contingency in matrix layout. Conditional aggregation keeps
+    // column names oracle-stable (vs. value-derived pivot names).
+    QueryDef(
+      "a6_pivot",
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+          count(when(col("o_orderpriority") === "2-HIGH", 1)).as("high"),
+          count(when(col("o_orderpriority") === "3-MEDIUM", 1)).as("medium"),
+          count(when(col("o_orderpriority") === "4-NOT SPECIFIED", 1)).as("notspec"),
+          count(when(col("o_orderpriority") === "5-LOW", 1)).as("low"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+                     count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+                     count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+                     count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+                     count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // A8: accuracy as conditional mean (evaluation.py:11).
+    QueryDef(
+      "a8_accuracy",
+      (s, d) => T.lineitem(s, d)
+        .agg(round(avg(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)), 6)
+          .as("frac_returned")),
+      Some("""SELECT round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+                     AS frac_returned FROM lineitem""")),
+
+    // A9: Frobenius-norm-style aggregate sqrt(Σ(x−y)²)
+    // (CNC_AE_model_selection.py:209-229).
+    QueryDef(
+      "a9_frobenius",
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(sqrt(sum(pow(col("l_discount") - col("l_tax"), 2))), 4)
+          .as("frob"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     round(sqrt(sum(pow(l_discount - l_tax, 2))), 4) AS frob
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // A10: per-subject L2 norm, one row per key
+    // (reconloss_from_retrained_models.py:45,69-72).
+    QueryDef(
+      "a10_row_l2",
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(round(sqrt(sum(pow(col("l_discount") - col("l_tax"), 2))), 6)
+          .as("l2"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+                     round(sqrt(sum(pow(l_discount - l_tax, 2))), 6) AS l2
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ---- §2.6 window computations ---------------------------------------
+    // W4: partitioned sum over contingency counts — the Hungarian cost
+    // matrix input colsum(C[:,j]) − C[i,j] (evaluation.py:15-23).
+    QueryDef(
+      "w4_hungarian_cost",
+      (s, d) => {
+        val cont = T.orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        cont.withColumn("cost",
+            sum("cnt").over(Window.partitionBy("o_orderpriority")) - col("cnt"))
+          .select("o_orderstatus", "o_orderpriority", "cost")
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     sum(cnt) OVER (PARTITION BY o_orderpriority) - cnt AS cost
+              FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+                    FROM orders GROUP BY 1, 2)
+              ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // ---- §2.7 sorts / limits --------------------------------------------
+    // O1: global sort + take-1 → TakeOrderedAndProject, no full sort at
+    // scale (AE_results.ipynb cell 50).
+    QueryDef(
+      "o1_top1",
+      (s, d) => T.orders(s, d)
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(1),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice, o_orderkey LIMIT 1""")),
+
+    // O1b: top-k variant (k=10) for the same physical path.
+    QueryDef(
+      "o1_topk",
+      (s, d) => T.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---- §2.8 scalar functions ------------------------------------------
+    // F2: label prefix extraction — split()[0]
+    // (CNC_AE_model_selection.py:514). Spark split is regex; space literal.
+    QueryDef(
+      "f2_split_prefix",
+      (s, d) => T.part(s, d)
+        .select(element_at(split(col("p_name"), " "), 1).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word"),
+      Some("""SELECT string_split(p_name, ' ')[1] AS word, count(*) AS n
+              FROM part GROUP BY 1 ORDER BY word""")),
+
+    // F3: string→int label map, fixed dict order (Data_prep.py:86-89).
+    QueryDef(
+      "f3_label_map",
+      (s, d) => T.customer(s, d)
+        .withColumn("seg_code",
+          when(col("c_mktsegment") === "AUTOMOBILE", 0)
+            .when(col("c_mktsegment") === "BUILDING", 1)
+            .when(col("c_mktsegment") === "FURNITURE", 2)
+            .when(col("c_mktsegment") === "HOUSEHOLD", 3)
+            .when(col("c_mktsegment") === "MACHINERY", 4)
+            .otherwise(-1))
+        .select("c_custkey", "seg_code")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                          WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                          WHEN 'MACHINERY' THEN 4 ELSE -1 END AS seg_code
+              FROM customer ORDER BY c_custkey""")),
+
+    // F4: prefix strip via regexp_replace (tsn_visulization.py:21).
+    QueryDef(
+      "f4_regexp_strip",
+      (s, d) => T.orders(s, d)
+        .select(regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("prio"))
+        .groupBy("prio").agg(count(lit(1)).as("n"))
+        .orderBy("prio"),
+      Some("""SELECT regexp_replace(o_orderpriority, '^[0-9]-', '') AS prio,
+                     count(*) AS n
+              FROM orders GROUP BY 1 ORDER BY prio""")),
+
+    // F5: key truncation '_'.join(split[:2]) (AE_results.ipynb cell 28).
+    QueryDef(
+      "f5_key_trunc",
+      (s, d) => T.part(s, d)
+        .select(col("p_partkey"),
+          concat_ws("_", slice(split(col("p_name"), " "), 1, 2)).as("key2"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     array_to_string(list_slice(string_split(p_name, ' '), 1, 2), '_')
+                       AS key2
+              FROM part ORDER BY p_partkey""")),
+
+    // F10: unpivot / pivot_longer (AE_results.ipynb cell 130). Spark-side
+    // stack() of per-flag aggregates; DuckDB-side UNION ALL.
+    QueryDef(
+      "f10_unpivot",
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .select(col("l_returnflag"),
+          expr("stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, value)"))
+        .orderBy("l_returnflag", "metric"),
+      Some("""WITH agg AS (
+                SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                       round(sum(l_extendedprice), 2) AS sum_price
+                FROM lineitem GROUP BY 1)
+              SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+              UNION ALL
+              SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+              ORDER BY l_returnflag, metric"""))
+  )
+}

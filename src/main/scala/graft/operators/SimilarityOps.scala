@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>[64], label): brute-force cosine top-k as the exact
+  * baseline, a random-hyperplane LSH bucketed variant as the scale path,
+  * and per-label centroids.
+  *
+  * Scale design: the query side is always the *small* side and is
+  * broadcast; the corpus side streams. Dot products are codegen'd
+  * higher-order expressions (`zip_with`+`aggregate`), computed in double
+  * for DuckDB parity. Top-k goes through a per-query window (rank ≤ k) —
+  * partial top-k per partition, no global sort of the corpus.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two array<float> columns, accumulated in double
+    * (sequential, same order as DuckDB list_sum — bit-stable). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Sign-bit LSH bucket id from `nBits` pseudo-random hyperplanes. The
+    * hyperplane components are seeded integer hashes mapped to [-1, 1] —
+    * deterministic, no RNG state, identical on every executor. */
+  def lshBucket(v: Column, nBits: Int, dims: Int, seed: Long): Column = {
+    val bits = (0 until nBits).map { b =>
+      val planeDot = aggregate(
+        zip_with(v, sequence(lit(0), lit(dims - 1)), (x, i) =>
+          x.cast("double") *
+            (pmod(xxhash64(lit(b.toLong * 7919 + seed), i), lit(2001L))
+              .cast("double") / 1000.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(planeDot >= 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-10 against a single query vector (vec_id=0).
+    // The exact-ANN baseline: one broadcast of the query row, one corpus
+    // scan, TakeOrderedAndProject for the top-k.
+    QueryDef(
+      "y1_cosine_topk",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              SELECT e.vec_id, e.label,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+              FROM embeddings e, q
+              WHERE e.vec_id != 0
+              ORDER BY cos_sim DESC, e.vec_id LIMIT 10""")),
+
+    // Per-label centroids in long form (label, dim, mean) — the IVF
+    // coarse-quantizer fit. Long form keeps the shuffle key small and the
+    // aggregation map-side combinable.
+    QueryDef(
+      "y2_centroids",
+      (s, d) => T.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("col").cast("double")), 4).as("v"))
+        .orderBy("label", "pos"),
+      Some("""SELECT label, i - 1 AS pos,
+                     round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS v
+              FROM embeddings, range(1, 65) t(i)
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // k-NN join: top-3 neighbors for each of the first 20 vectors.
+    // Query block broadcast against the corpus; per-query window top-k.
+    QueryDef(
+      "y3_knn_join",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("nid"))
+        e.select(col("vec_id").as("nid"), col("embedding"))
+          .crossJoin(broadcast(queries))
+          .filter(col("nid") =!= col("qid"))
+          .select(col("qid"), col("nid"),
+            round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("qid", "nid", "cos_sim")
+          .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+      },
+      Some("""WITH sims AS (
+                SELECT a.vec_id AS qid, b.vec_id AS nid,
+                       round(
+                         list_sum(list_transform(range(1, 65),
+                           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 20 AND b.vec_id != a.vec_id)
+              SELECT qid, nid, cos_sim FROM sims
+              QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, nid) <= 3
+              ORDER BY qid, cos_sim DESC, nid""")),
+
+    // LSH-bucketed approximate neighbors: 8 hyperplane sign bits → join
+    // within buckets only (the 100 TB path: bucket join replaces the
+    // quadratic cross join; recall traded via nBits). Rows-only check
+    // (seeded hash hyperplanes aren't ANSI-SQL-expressible).
+    QueryDef(
+      "y4_lsh_ann",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+          .withColumn("bucket", lshBucket(col("embedding"), 8, 64, 42L))
+        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("nid"), col("embedding"), col("bucket"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("nid"))
+        a.join(b, Seq("bucket"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(cosine(col("qe"), col("embedding")), 4).as("cos_sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("qid", "nid", "cos_sim")
+          .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+      },
+      None)
+  )
+}

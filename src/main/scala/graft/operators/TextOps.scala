@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => Fn}
+import graft.{QueryDef, Tables => T}
+
+/** Text-corpus operators for large-scale training-data pipelines over the
+  * `documents` table: language profiling, token statistics, quality
+  * scoring, fingerprinting, and deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard).
+  *
+  * Scale design: everything is expression-level (codegen'd higher-order
+  * array functions — no UDFs); dedup candidate generation is a band-bucket
+  * shuffle whose fan-out is O(docs × bands), never O(docs²). The only
+  * quadratic step is exact-Jaccard verification *within* candidate
+  * buckets. All arithmetic stays within Long range (ANSI-safe).
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text (empty text → single empty
+    * token, matching DuckDB regexp_split_to_array semantics). */
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles (n=3) built with codegen'd array functions;
+    * short documents fall back to the whole text as one shingle. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** MinHash signature: k independent seeded hashes, each the min over the
+    * shingle set. xxhash64(shingle, seed_i) plays the role of the i-th
+    * permutation (standard MinHash — Broder 1997). */
+  def minhashSig(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+
+  /** 64-bit SimHash from pre-hashed tokens: per-bit majority vote of
+    * xxhash64 bits (Charikar 2002). Pure SQL expression over a column
+    * named `hs` (array<bigint>) so nested lambdas can use the bit index
+    * in shiftright (the Scala `shiftright` helper only takes literal
+    * ints). */
+  val simhashSqlOverHs: String =
+    """aggregate(
+         zip_with(
+           transform(sequence(0, 63), b ->
+             aggregate(hs, 0L,
+               (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1L) = 1L
+                                      THEN 1L ELSE -1L END)),
+           sequence(0, 63),
+           (s, b) -> CASE WHEN s > 0L THEN shiftleft(1L, b) ELSE 0L END),
+         0L, (acc, x) -> acc | x)"""
+
+  /** Candidate duplicate pairs via LSH banding of MinHash signatures:
+    * explode (band_idx, band_hash) keys, self-join within buckets. The
+    * shuffle key distributes uniformly (hash values), so this survives a
+    * 1000-executor scale-up; no driver collection anywhere. */
+  def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("sh", shingles(col("toks")))
+      .select(col("doc_id"), minhashSig(col("sh"), k).as("sig"))
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              x => x.cast("string"))), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for a pair DataFrame (verification step after
+    * LSH candidate generation — only runs on candidates, never all pairs). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("tokset"))
+    pairs
+      .join(toks.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("tokset", "tok_a"), "doc_a")
+      .join(toks.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("tokset", "tok_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("tok_a"), col("tok_b"))))
+      .withColumn("uni", size(array_union(col("tok_a"), col("tok_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Corpus language/source profile (metadata aggregation).
+    QueryDef(
+      "x1_lang_profile",
+      (s, d) => T.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+                     sum(n_chars) AS total_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Whitespace+regex token counting per document.
+    QueryDef(
+      "x2_token_count",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: length, punctuation ratio, stopword ratio — the
+    // standard cheap pretraining-corpus filters (C4/Gopher-style rules).
+    QueryDef(
+      "x3_quality_score",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val stop = Fn.filter(toks, t =>
+          t.isin("the", "of", "and", "a", "to", "de", "la", "le", "und", "el"))
+        T.documents(s, d)
+          .select(col("doc_id"),
+            length(col("text")).as("len"),
+            round(length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+              .cast("double") / greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"),
+            round(size(stop).cast("double") / greatest(size(toks), lit(1)), 6)
+              .as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, length(text) AS len,
+                     round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                           / greatest(n_chars, 1), 6) AS punct_ratio,
+                     round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t IN ('the','of','and','a','to','de','la','le','und','el'))) AS DOUBLE)
+                           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+                       AS stop_ratio
+              FROM documents ORDER BY doc_id""")),
+
+    // Exact dedup: canonical doc per content hash (hash-groupBy — one
+    // shuffle on md5, scales linearly).
+    QueryDef(
+      "x4_dedup_exact",
+      (s, d) => T.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // Near-duplicate clusters keyed by a 5-token prefix fingerprint
+    // (cheap first-pass clustering before pairwise verification).
+    QueryDef(
+      "x5_dup_clusters",
+      (s, d) => T.documents(s, d)
+        .groupBy(concat_ws(" ", slice(tokens(col("text")), 1, 5)).as("prefix"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .filter(col("n_docs") > 1)
+        .select("prefix", "min_id", "n_docs")
+        .orderBy("min_id"),
+      Some("""SELECT array_to_string(list_slice(
+                       regexp_split_to_array(trim(text), '\s+'), 1, 5), ' ') AS prefix,
+                     min(doc_id) AS min_id, count(*) AS n_docs
+              FROM documents GROUP BY 1 HAVING count(*) > 1
+              ORDER BY min_id""")),
+
+    // MinHash+LSH near-dup candidates, exact-Jaccard verified at 0.5.
+    // Not ANSI-SQL-expressible (seeded xxhash64 signatures) → rows-only.
+    QueryDef(
+      "x6_minhash_dedup",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        jaccardVerify(minhashCandidates(docs), docs, 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // SimHash 64-bit fingerprints (near-dup hashing; rows-only — no
+    // DuckDB xxhash64).
+    QueryDef(
+      "x7_simhash",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
+        .select(col("doc_id"), expr(simhashSqlOverHs).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    // n-gram Jaccard near-dup — LSH path with more bands (higher recall),
+    // verified at a lower threshold (0.3) to surface fuzzier matches.
+    QueryDef(
+      "x8_ngram_jaccard",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        jaccardVerify(minhashCandidates(docs, k = 16, bands = 8), docs, 0.3)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Document fingerprint: rolling polynomial hash over tokens
+    // (Rabin-Karp-style), kept in [0, 1e9+7) so ANSI overflow can't fire.
+    QueryDef(
+      "x9_fingerprint",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(tokens(col("text")), lit(0L),
+            (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)),
+              lit(1000000007L))).as("fingerprint"))
+        .orderBy("doc_id"),
+      None),
+
+    // Language-ID heuristic: stopword-profile voting + CJK detection.
+    // (The synthetic corpus shares one vocabulary across `lang` labels, so
+    // the output is the predicted-language distribution per labeled lang,
+    // not an accuracy — the operator itself is the deliverable.)
+    QueryDef(
+      "x10_langid",
+      (s, d) => {
+        val toks = tokens(lower(col("text")))
+        def score(words: String*) =
+          size(Fn.filter(toks, t => t.isin(words: _*)))
+        val en = score("the", "and", "of", "to", "is", "in")
+        val de = score("der", "die", "und", "das", "ist", "nicht")
+        val es = score("el", "los", "que", "y", "es", "una")
+        val fr = score("le", "les", "et", "est", "une", "dans")
+        val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+        val pred = when(zh > 0, "zh")
+          .when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr")
+        T.documents(s, d)
+          .withColumn("pred", pred)
+          .groupBy("lang", "pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      None)
+  )
+}
