@@ -19,6 +19,27 @@ object Smoke {
     println(s"[smoke] entry rows=${rows.length}")
     rows.take(5).foreach(r => println(s"[smoke] $r"))
     require(rows.nonEmpty, "entry returned 0 rows")
+
+    // ETL pipeline drive (SURVEY §7.3 minimum slice, data-prep half):
+    // reference TSV → transpose → labels → stratified split → min-max.
+    val sim = sys.env.getOrElse("SPARK_GRAFT_SIM_FILE",
+      "/root/reference/Simulation_Data/miRNA_seq_2_groups_0.2_diff.csv")
+    if (new java.io.File(sim).exists()) {
+      import graft.etl._
+      import org.apache.spark.sql.functions._
+      val m = OmicsReader.readTransposed(spark, sim)
+      val labeled = LabelCodec.withDerivedLabel(m.data,
+        LabelCodec.simulationLabelMap)
+      val split = Splits.stratifiedFlag(labeled, "label", "sample_id", 0.8, 42)
+      val train = Scalers.fitTransform(split.filter(col("is_train")))
+      val summary = train.groupBy("label").agg(
+        count(lit(1)).as("n_train"),
+        round(avg(aggregate(col("features"), lit(0.0), _ + _)
+          / size(col("features"))), 6).as("mean_scaled"))
+        .orderBy("label").collect()
+      summary.foreach(r => println(s"[smoke] etl $r"))
+      require(summary.map(_.getLong(1)).sum == 480, "expected 480 train rows")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion of omics feature matrices into the engine's canonical shape
+  * `(sample_id: String, features: Array[Double])` + a feature-name dim
+  * table `(feature_idx: Int, feature_name: String)`.
+  *
+  * Replicates the reference's two load paths
+  * (ref: Simulation_Models/CNC_AE_model_selection.py:507-508 — features-
+  * as-rows TSV loaded with `pd.read_csv(sep='\t').T`; AE_results.ipynb
+  * cell 67 — samples-as-rows TSV) as declarative Spark plans.
+  *
+  * Scale notes: one array column, never tens of thousands of scalar
+  * columns (Catalyst plans stay small, projections stay narrow). The
+  * transpose goes through long form `(feature_idx, sample_idx, value)` —
+  * a single shuffle keyed by sample, the documented SURVEY §4.3 path; at
+  * 100 TB the long form itself is the storage format and this reader is
+  * only the edge adapter.
+  */
+object OmicsReader {
+
+  final case class OmicsMatrix(data: DataFrame, featureNames: DataFrame)
+
+  /** Features-as-rows TSV with an R-style header (header row has one
+    * column fewer than data rows; data rows lead with the feature id).
+    * Returns samples as rows, feature order preserved from the file
+    * (matching the reference's pandas `.T`).
+    */
+  def readTransposed(spark: SparkSession, path: String): OmicsMatrix = {
+    // The R-style header has one column FEWER than the data rows; Spark
+    // would infer the narrow schema from it and silently drop the last
+    // data column — so count columns from the first line and force an
+    // explicit (n+1)-wide string schema.
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val nHeaderCols = spark.read.text(path).head().getString(0).split("\t").length
+    val schema = StructType(
+      (0 to nHeaderCols).map(i => StructField(s"_c$i", StringType)))
+    val raw = spark.read.option("sep", "\t").schema(schema).csv(path)
+    val cols = raw.columns
+    val lastCol = cols.last
+    // R-style header row is the only row with no value in the last slot.
+    val headerRow = raw.filter(col(lastCol).isNull).head()
+    val sampleIds = (0 until cols.length - 1).map(headerRow.getString)
+
+    val data = raw.filter(col(lastCol).isNotNull)
+    // Stable feature index in file order; ≤ ~20k feature rows at the
+    // reference scale, so the single-partition window is bounded.
+    val indexed = data
+      .withColumn("feature_idx",
+        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+          .cast("int"))
+    val featureNames = indexed
+      .select(col("feature_idx"), col(cols.head).as("feature_name"))
+
+    val valueCols = array(cols.tail.map(c => col(c).cast("double")): _*)
+    val long = indexed.select(col("feature_idx"),
+      posexplode(valueCols).as(Seq("sample_idx", "value")))
+
+    val sampleDim = spark.createDataFrame(
+      sampleIds.zipWithIndex.map { case (s, i) => (i, s) }
+    ).toDF("sample_idx", "sample_id")
+
+    val wide = long
+      .join(broadcast(sampleDim), "sample_idx")
+      .groupBy("sample_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("feature_idx"), col("value")))),
+        s => s.getField("value")).as("features"))
+    OmicsMatrix(wide, featureNames)
+  }
+
+  /** Samples-as-rows TSV (TCGA shape): header present, `idCol` holds the
+    * sample id, every other column is one feature (file column order kept).
+    */
+  def readSamplesAsRows(spark: SparkSession, path: String,
+      idCol: String = "_c0", header: Boolean = true): OmicsMatrix = {
+    val raw = spark.read.option("sep", "\t").option("header", header).csv(path)
+    val featCols = raw.columns.filterNot(_ == idCol)
+    val data = raw.select(col(idCol).as("sample_id"),
+      array(featCols.map(c => col(c).cast("double")): _*).as("features"))
+    val names = raw.sparkSession.createDataFrame(
+      featCols.zipWithIndex.map { case (n, i) => (i, n) }
+    ).toDF("feature_idx", "feature_name")
+    OmicsMatrix(data, names)
+  }
+
+  /** Positionally-aligned label file (single column, no header beyond a
+    * `0` placeholder — ref: TCGA_Data/labels.csv, AE_results.ipynb cell
+    * 67). Joined to samples by row position.
+    */
+  def readLabels(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("header", true).csv(path)
+      .withColumn("sample_idx",
+        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+          .cast("int"))
+      .withColumnRenamed("0", "label")
+}
