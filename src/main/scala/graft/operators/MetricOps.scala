@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+import graft.metrics.{ClusterQuality, ClusteringMetrics, Hungarian}
+
+/** The metrics layer exposed through the driver's oracle-checked query
+  * surface: clustering-agreement metrics over a categorical pair on
+  * `orders`, and internal cluster-quality metrics over `embeddings`
+  * grouped by their `label` column. Each Spark side delegates to the
+  * graft.metrics implementations (the same code the ML pipelines use);
+  * the oracle re-derives the metric from the published formula in pure
+  * SQL — so the formula itself is what gets cross-checked.
+  */
+object MetricOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // M4/M5/M6 — NMI (arithmetic), ARI, Fowlkes-Mallows of
+    // o_orderstatus vs o_orderpriority.
+    QueryDef(
+      "m4_cluster_agreement",
+      (s, d) => {
+        val df = T.orders(s, d)
+          .select(col("o_orderstatus").as("label"),
+            col("o_orderpriority").as("pred"))
+        val nmi = ClusteringMetrics.nmi(df)
+        val ari = ClusteringMetrics.ari(df)
+        val fm = ClusteringMetrics.fowlkesMallows(df)
+        s.range(1).select(
+          round(lit(nmi), 6).as("nmi"),
+          round(lit(ari), 6).as("ari"),
+          round(lit(fm), 6).as("fm"))
+      },
+      Some("""WITH c AS (SELECT o_orderstatus AS l, o_orderpriority AS p,
+                                CAST(count(*) AS DOUBLE) AS cnt
+                         FROM orders GROUP BY 1, 2),
+                   n AS (SELECT sum(cnt) AS n FROM c),
+                   t AS (SELECT l, p, cnt,
+                                sum(cnt) OVER (PARTITION BY l) AS ai,
+                                sum(cnt) OVER (PARTITION BY p) AS bj FROM c),
+                   mi AS (SELECT sum(cnt / n.n * ln(n.n * cnt / (ai * bj))) AS mi
+                          FROM t, n),
+                   hu AS (SELECT -sum(m / n.n * ln(m / n.n)) AS h
+                          FROM (SELECT l, sum(cnt) AS m FROM c GROUP BY l) x, n),
+                   hv AS (SELECT -sum(m / n.n * ln(m / n.n)) AS h
+                          FROM (SELECT p, sum(cnt) AS m FROM c GROUP BY p) x, n),
+                   pairs AS (SELECT
+                     (SELECT sum(cnt * (cnt - 1) / 2) FROM c) AS sij,
+                     (SELECT sum(m * (m - 1) / 2) FROM
+                       (SELECT sum(cnt) AS m FROM c GROUP BY l)) AS sa,
+                     (SELECT sum(m * (m - 1) / 2) FROM
+                       (SELECT sum(cnt) AS m FROM c GROUP BY p)) AS sb,
+                     (SELECT n FROM n) AS n)
+              SELECT round(mi.mi / ((hu.h + hv.h) / 2), 6) AS nmi,
+                     round((sij - sa * sb / (n * (n - 1) / 2))
+                         / ((sa + sb) / 2 - sa * sb / (n * (n - 1) / 2)), 6) AS ari,
+                     round(sij / sqrt(sa * sb), 6) AS fm
+              FROM mi, hu, hv, pairs""")),
+
+    // M7 — Hungarian-remapped accuracy (k×k assignment solved on the
+    // driver; not ANSI-SQL-expressible → rows-only).
+    QueryDef(
+      "m7_hungarian_acc",
+      (s, d) => {
+        val df = T.orders(s, d)
+          .select(col("o_orderstatus").as("label"),
+            col("o_orderpriority").as("pred"))
+        val (_, acc) = Hungarian.remap(df)
+        s.range(1).select(round(lit(acc), 6).as("remapped_acc"))
+      },
+      None),
+
+    // M10 — Calinski-Harabasz over embeddings clustered by label.
+    QueryDef(
+      "m10_calinski",
+      (s, d) => {
+        val df = T.embeddings(s, d).select(
+          transform(col("embedding"), x => x.cast("double")).as("features"),
+          col("label").as("pred"))
+        val ch = ClusterQuality.calinskiHarabasz(df)
+        s.range(1).select(round(lit(ch), 6).as("ch"))
+      },
+      Some("""WITH cell AS (SELECT label, i AS dim,
+                       avg(CAST(embedding[i] AS DOUBLE)) AS c, count(*) AS n
+                     FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+                   g AS (SELECT dim, sum(c * n) / sum(n) AS gmean
+                         FROM cell GROUP BY 1),
+                   bg AS (SELECT sum(n * pow(c - gmean, 2)) AS bg
+                          FROM cell JOIN g USING (dim)),
+                   wg AS (SELECT sum(pow(CAST(e.embedding[i] AS DOUBLE) - cell.c, 2)) AS wg
+                          FROM embeddings e CROSS JOIN range(1, 65) t(i)
+                          JOIN cell ON cell.label = e.label AND cell.dim = i),
+                   meta AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                                   CAST(count(DISTINCT label) AS DOUBLE) AS k
+                            FROM embeddings)
+              SELECT round((bg / (k - 1)) / (wg / (n - k)), 6) AS ch
+              FROM bg, wg, meta""")),
+
+    // M11 — Davies-Bouldin over embeddings clustered by label.
+    QueryDef(
+      "m11_davies_bouldin",
+      (s, d) => {
+        val df = T.embeddings(s, d).select(
+          transform(col("embedding"), x => x.cast("double")).as("features"),
+          col("label").as("pred"))
+        val dbi = ClusterQuality.daviesBouldin(df)
+        s.range(1).select(round(lit(dbi), 6).as("dbi"))
+      },
+      Some("""WITH cell AS (SELECT label, i AS dim,
+                       avg(CAST(embedding[i] AS DOUBLE)) AS c
+                     FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+                   dist AS (SELECT e.vec_id, e.label,
+                       sqrt(sum(pow(CAST(e.embedding[i] AS DOUBLE) - cell.c, 2))) AS dd
+                     FROM embeddings e CROSS JOIN range(1, 65) t(i)
+                     JOIN cell ON cell.label = e.label AND cell.dim = i
+                     GROUP BY 1, 2),
+                   s AS (SELECT label, avg(dd) AS s FROM dist GROUP BY 1),
+                   cd AS (SELECT a.label AS la, b.label AS lb,
+                       sqrt(sum(pow(a.c - b.c, 2))) AS dc
+                     FROM cell a JOIN cell b
+                       ON a.dim = b.dim AND a.label != b.label
+                     GROUP BY 1, 2),
+                   r AS (SELECT cd.la, max((sa.s + sb.s) / cd.dc) AS r
+                         FROM cd JOIN s sa ON sa.label = cd.la
+                              JOIN s sb ON sb.label = cd.lb
+                         GROUP BY 1)
+              SELECT round(avg(r), 6) AS dbi FROM r""")),
+
+    // M9 — silhouette (cosine) over embeddings by label; Spark ML's
+    // O(n) implementation, no SQL equivalent → rows-only.
+    QueryDef(
+      "m9_silhouette",
+      (s, d) => {
+        val df = T.embeddings(s, d).select(
+          transform(col("embedding"), x => x.cast("double")).as("features"),
+          col("label").as("pred"))
+        val sil = ClusterQuality.silhouette(df, distance = "cosine")
+        s.range(1).select(round(lit(sil), 6).as("silhouette"))
+      },
+      None)
+  )
+}
