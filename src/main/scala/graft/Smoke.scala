@@ -39,6 +39,11 @@ object Smoke {
         .orderBy("label").collect()
       summary.foreach(r => println(s"[smoke] etl $r"))
       require(summary.map(_.getLong(1)).sum == 480, "expected 480 train rows")
+
+      // Full SURVEY §7.3 slice: ingest → split → scale → NB 5-fold CV.
+      val cv = graft.pipeline.SimulationNb.run(spark, sim).collect()
+      cv.foreach(r => println(s"[smoke] nb_cv fold=${r.getInt(0)} acc=${r.getDouble(1)}"))
+      require(cv.length == 5 && cv.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
     }
     spark.stop()
   }
