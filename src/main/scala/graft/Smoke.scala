@@ -44,6 +44,17 @@ object Smoke {
       val cv = graft.pipeline.SimulationNb.run(spark, sim).collect()
       cv.foreach(r => println(s"[smoke] nb_cv fold=${r.getInt(0)} acc=${r.getDouble(1)}"))
       require(cv.length == 5 && cv.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+
+      // AE slice (SURVEY §3.1+§3.3 reduced): train a small CNC-style AE,
+      // extract embeddings + per-subject recon loss, NB CV on embeddings.
+      val aeRes = graft.pipeline.SimulationAe.run(spark, sim, epochs = 3)
+      println(s"[smoke] ae epoch losses: ${aeRes.epochLosses.map(l => f"$l%.4f").mkString(", ")}")
+      val reconStats = aeRes.trainRecon.agg(avg("recon_loss"), stddev_pop("recon_loss")).head()
+      println(f"[smoke] ae recon mean=${reconStats.getDouble(0)}%.4f std=${reconStats.getDouble(1)}%.4f")
+      aeRes.nbCv.collect().foreach(r =>
+        println(s"[smoke] ae nb_cv fold=${r.getInt(0)} acc=${r.getDouble(1)}"))
+      require(aeRes.epochLosses.last < aeRes.epochLosses.head,
+        "AE loss did not decrease")
     }
     spark.stop()
   }
