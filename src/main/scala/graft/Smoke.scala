@@ -55,6 +55,14 @@ object Smoke {
         println(s"[smoke] ae nb_cv fold=${r.getInt(0)} acc=${r.getDouble(1)}"))
       require(aeRes.epochLosses.last < aeRes.epochLosses.head,
         "AE loss did not decrease")
+
+      // Graph-engine drive: JISAE-O3 (3-branch + ortho loss) at real dims.
+      val gRes = graft.pipeline.SimulationAe.runArch(spark, sim,
+        (d1, d2) => graft.nn.ArchZoo.jisaeO3(d1, d2, orthoMultiplier = 0.1))
+      println(s"[smoke] jisaeO3 epoch losses: ${gRes.epochLosses.map(l => f"$l%.4f").mkString(", ")}")
+      gRes.nbCv.collect().foreach(r =>
+        println(s"[smoke] jisaeO3 nb_cv fold=${r.getInt(0)} acc=${r.getDouble(1)}"))
+      require(gRes.epochLosses.forall(l => !l.isNaN && !l.isInfinite))
     }
     spark.stop()
   }

@@ -24,8 +24,26 @@ object Trainer {
   final case class Config(lr: Double, weightDecay: Double = 0.0,
       batchSize: Int = 128, epochs: Int = 30, seed: Long = 21)
 
-  final case class Trained(ae: TwoViewAe, params: Array[Double],
+  final case class Trained(model: AeModel, params: Array[Double],
       stats: Array[Double], epochLosses: Seq[Double])
+
+  /** Adapter exposing the direct CNC-shaped kernel as an [[AeModel]]. */
+  final case class TwoViewModel(ae: TwoViewAe) extends AeModel {
+    def paramCount: Int = ae.paramCount
+    def statCount: Int = ae.statCount
+    def initParams(seed: Long): (Array[Double], Array[Double]) =
+      Kernel.init(ae, seed)
+    def batchGradient(params: Array[Double], stats: Array[Double],
+        x1: DenseMatrix[Double], x2: DenseMatrix[Double],
+        rng: java.util.Random): Kernel.BatchResult =
+      Kernel.batchGradient(ae, params, stats, x1, x2, rng)
+    def evalOutputs(params: Array[Double], stats: Array[Double],
+        x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+        : Map[String, DenseMatrix[Double]] = {
+      val (z, s1hat, s2hat) = Kernel.evalForward(ae, params, stats, x1, x2)
+      Map("z12" -> z, "s1hat" -> s1hat, "s2hat" -> s2hat)
+    }
+  }
 
   private final class IdPartitioner(n: Int) extends Partitioner {
     def numPartitions: Int = n
@@ -43,8 +61,15 @@ object Trainer {
     m
   }
 
-  /** Train on (x1, x2) array columns. */
+  /** Train on (x1, x2) array columns (CNC-shaped direct kernel). */
   def train(df: DataFrame, ae: TwoViewAe, cfg: Config,
+      x1Col: String, x2Col: String): Trained =
+    train(df, TwoViewModel(ae), cfg, x1Col, x2Col)
+  def train(df: DataFrame, ae: TwoViewAe, cfg: Config): Trained =
+    train(df, TwoViewModel(ae), cfg, "x1", "x2")
+
+  /** Train any [[AeModel]] on (x1, x2) array columns. */
+  def train(df: DataFrame, model: AeModel, cfg: Config,
       x1Col: String = "x1", x2Col: String = "x2"): Trained = {
     val sc = df.sparkSession.sparkContext
     val base: RDD[(Long, (Array[Double], Array[Double]))] = df
@@ -55,8 +80,8 @@ object Trainer {
     val n = base.count().toInt
     val nBatches = math.max(1, (n + cfg.batchSize - 1) / cfg.batchSize)
 
-    val (params, stats) = Kernel.init(ae, cfg.seed)
-    val adam = new Adam(ae.paramCount, cfg.lr, cfg.weightDecay)
+    val (params, stats) = model.initParams(cfg.seed)
+    val adam = new Adam(model.paramCount, cfg.lr, cfg.weightDecay)
     val losses = new scala.collection.mutable.ArrayBuffer[Double]
 
     for (epoch <- 0 until cfg.epochs) {
@@ -78,14 +103,14 @@ object Trainer {
       for (b <- 0 until nBatches) {
         val snapshot = params.clone() // immutable copy shipped in closure
         val statsSnap = stats.clone()
-        val aeRef = ae
+        val modelRef = model
         val dropSeed = cfg.seed * 1000003L + epoch * 1009L + b
         val res = sc.runJob(
           epochRdd,
           (it: Iterator[(Array[Double], Array[Double])]) => {
             val rows = it.toArray
             if (rows.isEmpty) null
-            else Kernel.batchGradient(aeRef, snapshot, statsSnap,
+            else modelRef.batchGradient(snapshot, statsSnap,
               mat(rows.map(_._1).toIndexedSeq), mat(rows.map(_._2).toIndexedSeq),
               new java.util.Random(dropSeed))
           },
@@ -107,7 +132,7 @@ object Trainer {
       losses += (if (seen > 0) epochLoss / seen else 0.0)
     }
     base.unpersist(false)
-    Trained(ae, params, stats, losses.toSeq)
+    Trained(model, params, stats, losses.toSeq)
   }
 
   /** Eval-mode CustomLoss over a full dataset, computed distributed:
@@ -115,9 +140,18 @@ object Trainer {
     * (reference evaluates the val fold as one full batch —
     * reconloss_from_retrained_models.py:19). */
   def evaluateLoss(df: DataFrame, ae: TwoViewAe, params: Array[Double],
+      stats: Array[Double]): Double =
+    evaluateLoss(df, TwoViewModel(ae), params, stats, "x1", "x2")
+
+  def evaluateLoss(df: DataFrame, model: AeModel, params: Array[Double],
       stats: Array[Double], x1Col: String = "x1",
       x2Col: String = "x2"): Double = {
-    val (ss1, ss2) = df.select(x1Col, x2Col).rdd
+    // recon outputs and their target view, covering both the plain AEs
+    // (s1hat/s2hat) and MOCSS's four reconstructions
+    val reconKeys = Seq("s1hat" -> 0, "s2hat" -> 1,
+      "shared1_rec" -> 0, "specific1_rec" -> 0,
+      "shared2_rec" -> 1, "specific2_rec" -> 1)
+    val partials = df.select(x1Col, x2Col).rdd
       .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
       .mapPartitions { it =>
         val rows = it.toArray
@@ -125,7 +159,7 @@ object Trainer {
         else {
           val x1 = mat(rows.map(_._1).toIndexedSeq)
           val x2 = mat(rows.map(_._2).toIndexedSeq)
-          val (_, s1hat, s2hat) = Kernel.evalForward(ae, params, stats, x1, x2)
+          val outs = model.evalOutputs(params, stats, x1, x2)
           def ssOf(out: DenseMatrix[Double], tgt: DenseMatrix[Double]): Double = {
             val (oh, _) = Kernel.rowNormalize(out)
             val (th, _) = Kernel.rowNormalize(tgt)
@@ -140,10 +174,16 @@ object Trainer {
             }
             acc
           }
-          Iterator((ssOf(s1hat, x1), ssOf(s2hat, x2)))
+          Iterator(reconKeys.collect {
+            case (k, v) if outs.contains(k) =>
+              k -> ssOf(outs(k), if (v == 0) x1 else x2)
+          }.toMap)
         }
       }
-      .fold((0.0, 0.0)) { case ((a1, a2), (b1, b2)) => (a1 + b1, a2 + b2) }
-    math.sqrt(ss1) + math.sqrt(ss2)
+      .fold(Map.empty[String, Double]) { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0.0) + b.getOrElse(k, 0.0))).toMap
+      }
+    partials.values.map(math.sqrt).sum
   }
 }

@@ -18,9 +18,32 @@ object SimulationAe {
   final case class Result(epochLosses: Seq[Double],
       trainRecon: DataFrame, nbCv: DataFrame)
 
-  def run(spark: SparkSession, path: String, splitAt: Int = 846,
-      hidden: Seq[Int] = Seq(64), embed: Int = 16,
-      epochs: Int = 5, batchSize: Int = 128, lr: Double = 1e-3): Result = {
+  /** Same data prep, but trains a named ArchZoo architecture (graph
+    * engine) instead of the small CNC kernel. */
+  def runArch(spark: SparkSession, path: String,
+      mkArch: (Int, Int) => graft.nn.ArchZoo.Arch, splitAt: Int = 846,
+      epochs: Int = 2, batchSize: Int = 128, lr: Double = 1e-3): Result = {
+    val paired = prepare(spark, path, splitAt)
+    val width = paired.select(size(col("x1"))).head().getInt(0)
+    val w2 = paired.select(size(col("x2"))).head().getInt(0)
+    val arch = mkArch(width, w2)
+    val trained = Trainer.train(paired, arch.model,
+      Trainer.Config(lr = lr, weightDecay = 1e-6, batchSize = batchSize,
+        epochs = epochs, seed = 21))
+    val inferred = Inference.embedAndRecon(paired, arch.model,
+      trained.params, trained.stats, arch.embed).cache()
+    val recon = inferred.select(col("sample_id"), col("recon_loss"))
+    val nb = GaussianNB.crossValidate(
+      inferred.select(col("sample_id"), col("label_idx"),
+        col("embedding").as("features")),
+      k = 5, seed = 2023)
+    paired.unpersist()
+    Result(trained.epochLosses, recon, nb)
+  }
+
+  /** ingest → label → stratified train split → scale → slice views. */
+  private def prepare(spark: SparkSession, path: String,
+      splitAt: Int): DataFrame = {
     val m = OmicsReader.readTransposed(spark, path)
     val labeled = LabelCodec.withDerivedLabel(
       m.data, LabelCodec.simulationLabelMap)
@@ -29,14 +52,19 @@ object SimulationAe {
       .filter(col("is_train"))
     val scaled = Scalers.fitTransform(train)
     val width = scaled.select(size(col("features"))).head().getInt(0)
-    val paired = scaled.select(
+    scaled.select(
       col("sample_id"), col("label"), col("label_idx"),
       slice(col("features"), 1, splitAt).as("x1"),
       slice(col("features"), splitAt + 1, width - splitAt).as("x2"))
       .cache()
+  }
 
-    val ae = TwoViewAe.cncSized(splitAt, width - splitAt, hidden, embed,
-      drop = 0.1)
+  def run(spark: SparkSession, path: String, splitAt: Int = 846,
+      hidden: Seq[Int] = Seq(64), embed: Int = 16,
+      epochs: Int = 5, batchSize: Int = 128, lr: Double = 1e-3): Result = {
+    val paired = prepare(spark, path, splitAt)
+    val w2 = paired.select(size(col("x2"))).head().getInt(0)
+    val ae = TwoViewAe.cncSized(splitAt, w2, hidden, embed, drop = 0.1)
     val trained = Trainer.train(paired, ae,
       Trainer.Config(lr = lr, weightDecay = 1e-6, batchSize = batchSize,
         epochs = epochs, seed = 21))

