@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{MetricOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{ExtensionOps, MetricOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.operators.{MetricOps, RelationalOps, SimilarityOps, TextOps}
 object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
-    RelationalOps.defs ++ TextOps.defs ++ SimilarityOps.defs ++ MetricOps.defs
+    RelationalOps.defs ++ TextOps.defs ++ SimilarityOps.defs ++
+      MetricOps.defs ++ ExtensionOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped pricing summary: scan → filter → hash-agg → sort —

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+/** Multimodal and event/streaming operators exposed through the driver
+  * contract. */
+object ExtensionOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Multimodal asset profile over binary columns (stub codec, real
+    // schema/batching — rows-only: hash-derived features aren't ANSI SQL).
+    QueryDef(
+      "z1_multimodal_profile",
+      (s, d) => Multimodal.modalityProfile(
+        Multimodal.syntheticAssets(T.documents(s, d))),
+      None),
+
+    // Video frame sampling fan-out (one row per sampled frame).
+    QueryDef(
+      "z2_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.syntheticAssets(T.documents(s, d)), everyMs = 200)
+        .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("asset_id"),
+      None),
+
+    // Hourly event rollup (batch view of the streaming windowed agg;
+    // nanos timestamps normalized on read).
+    QueryDef(
+      "z3_events_hourly",
+      (s, d) => EventStream.readEvents(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n, round(sum(value), 4) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // True Structured Streaming execution (AvailableNow → memory sink),
+    // result must equal the batch rollup; rows-only by nature.
+    QueryDef(
+      "z4_stream_windowed",
+      (s, d) => EventStream.runWindowedOnce(s, d,
+          queryName = s"graft_stream_${math.abs(d.hashCode)}")
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("ws", "event_type"),
+      None)
+  )
+}
