@@ -125,6 +125,20 @@ object SimilarityOps {
                 ORDER BY cos_sim DESC, nid) <= 3
               ORDER BY qid, cos_sim DESC, nid""")),
 
+    // P3 — positional array slice + aggregate (mocss.py:465-478 slices
+    // feature blocks positionally; here: sum of the first 8 dims).
+    QueryDef(
+      "p3_array_slice",
+      (s, d) => T.embeddings(s, d)
+        .select(col("vec_id"),
+          round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 5).as("head_sum"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                     round(list_sum(list_transform(list_slice(embedding, 1, 8),
+                           x -> CAST(x AS DOUBLE))), 5) AS head_sum
+              FROM embeddings ORDER BY vec_id""")),
+
     // LSH-bucketed approximate neighbors: 8 hyperplane sign bits → join
     // within buckets only (the 100 TB path: bucket join replaces the
     // quadratic cross join; recall traded via nBits). Rows-only check
