@@ -64,6 +64,35 @@ object Smoke {
         println(s"[smoke] jisaeO3 nb_cv fold=${r.getInt(0)} acc=${r.getDouble(1)}"))
       require(gRes.epochLosses.forall(l => !l.isNaN && !l.isInfinite))
     }
+
+    // TCGA-shaped pipeline (FIXTURES §1.2 synthetic fixture, S2/S3
+    // readers, positional labels, fixed label codes, per-split scaling).
+    val tdir = java.nio.file.Files.createTempDirectory("graft-smoke-tcga")
+    val rng = new java.util.Random(2023)
+    val classes = Seq("breast", "lung", "melanoma", "liver", "sarcoma", "kidney")
+    val samples = (0 until 60).map(i => (f"TCGA-$i%02d", classes(i / 10), i / 10))
+    def writeMatrix(name: String, width: Int): Unit = {
+      val header = ("" +: (0 until width).map(j => s"g$j")).mkString("\t")
+      val rows = samples.map { case (sid, _, cIdx) =>
+        (sid +: (0 until width).map { j =>
+          f"${(if (j % 6 == cIdx) 5.0 else 1.0) + rng.nextGaussian() * 0.3}%.4f"
+        }).mkString("\t")
+      }
+      java.nio.file.Files.writeString(tdir.resolve(name),
+        (header +: rows).mkString("\n"))
+    }
+    writeMatrix("exp.tsv", 24)
+    writeMatrix("mirna.tsv", 12)
+    java.nio.file.Files.writeString(tdir.resolve("labels.tsv"),
+      ("0" +: samples.map { case (_, c, _) => s"Primary Tumor*$c" }).mkString("\n"))
+    val tcga = graft.pipeline.TcgaEval.run(spark,
+      tdir.resolve("exp.tsv").toString, tdir.resolve("mirna.tsv").toString,
+      tdir.resolve("labels.tsv").toString,
+      (d1, d2) => graft.nn.ArchZoo.cnc(d1, d2), epochs = 2, batchSize = 32)
+    println(s"[smoke] tcga train/test = ${tcga.trainCount}/${tcga.testCount}")
+    tcga.reconTable.collect().foreach(r => println(s"[smoke] tcga recon $r"))
+    tcga.nbTable.collect().foreach(r => println(s"[smoke] tcga nb $r"))
+    require(tcga.trainCount == 48 && tcga.testCount == 12)
     spark.stop()
   }
 }

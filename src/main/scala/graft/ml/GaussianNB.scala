@@ -105,16 +105,19 @@ object GaussianNB {
       .select(keyCol, labelCol, featuresCol, "fold")
       .cache()
     folded.count()
-    val accs = (0 until k).map { i =>
+    val accs = (0 until k).flatMap { i =>
       val train = folded.filter(col("fold") =!= i)
       val test = folded.filter(col("fold") === i)
-      val model = fit(train, featuresCol, labelCol)
-      val scored = predict(test, model, featuresCol)
-      val acc = scored
-        .agg(avg(when(col("pred") === col(labelCol).cast("long"), 1.0)
-          .otherwise(0.0)))
-        .head().getDouble(0)
-      (i, acc)
+      if (test.isEmpty) None // tiny strata can leave trailing folds empty
+      else {
+        val model = fit(train, featuresCol, labelCol)
+        val scored = predict(test, model, featuresCol)
+        val acc = scored
+          .agg(avg(when(col("pred") === col(labelCol).cast("long"), 1.0)
+            .otherwise(0.0)))
+          .head().getDouble(0)
+        Some((i, acc))
+      }
     }
     folded.unpersist()
     val spark = df.sparkSession

@@ -135,6 +135,67 @@ object Trainer {
     Trained(model, params, stats, losses.toSeq)
   }
 
+  /** Cluster-scale synchronous variant: ONE gradient step per epoch,
+    * each partition acting as a local batch (torch DataParallel
+    * semantics: per-replica BatchNorm statistics, per-replica batch-
+    * local loss terms), gradients SUMMED across partitions with
+    * treeAggregate, single Adam step + BN running update on the driver.
+    * This is the 100 TB path: weights ship once per epoch, the gradient
+    * reduction is O(log partitions), and no epoch-wise reshuffle is
+    * required. Exact mini-batch parity is what [[train]] provides; this
+    * trades batch-order semantics for cluster throughput.
+    */
+  def trainSync(df: DataFrame, model: AeModel, cfg: Config,
+      x1Col: String = "x1", x2Col: String = "x2",
+      treeDepth: Int = 2): Trained = {
+    val rdd = df.select(x1Col, x2Col).rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+      .cache()
+    rdd.count()
+    val (params, stats) = model.initParams(cfg.seed)
+    val adam = new Adam(model.paramCount, cfg.lr, cfg.weightDecay)
+    val losses = new scala.collection.mutable.ArrayBuffer[Double]
+    val sc = df.sparkSession.sparkContext
+
+    for (epoch <- 0 until cfg.epochs) {
+      val bcParams = sc.broadcast(params.clone())
+      val bcStats = sc.broadcast(stats.clone())
+      val modelRef = model
+      val seedBase = cfg.seed * 1000003L + epoch * 1009L
+      val partial = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else Iterator(modelRef.batchGradient(bcParams.value, bcStats.value,
+          mat(rows.map(_._1).toIndexedSeq), mat(rows.map(_._2).toIndexedSeq),
+          new java.util.Random(seedBase + pid)))
+      }
+      val agg = partial.treeReduce({ (a, b) =>
+        var i = 0
+        while (i < a.grads.length) { a.grads(i) += b.grads(i); i += 1 }
+        i = 0
+        // weighted merge of per-replica BN batch stats
+        while (i < a.batchStats.length) {
+          a.batchStats(i) = (a.batchStats(i) * a.n + b.batchStats(i) * b.n) /
+            (a.n + b.n)
+          i += 1
+        }
+        Kernel.BatchResult(a.loss * a.n / (a.n + b.n) +
+          b.loss * b.n / (a.n + b.n), a.grads, a.batchStats, a.n + b.n)
+      }, treeDepth)
+      adam.step(params, agg.grads)
+      var i = 0
+      while (i < stats.length) {
+        stats(i) = (1 - Kernel.BnMomentum) * stats(i) +
+          Kernel.BnMomentum * agg.batchStats(i)
+        i += 1
+      }
+      losses += agg.loss
+      bcParams.destroy(); bcStats.destroy()
+    }
+    rdd.unpersist(false)
+    Trained(model, params, stats, losses.toSeq)
+  }
+
   /** Eval-mode CustomLoss over a full dataset, computed distributed:
     * ‖·‖_F decomposes into per-partition sums of squares
     * (reference evaluates the val fold as one full batch —

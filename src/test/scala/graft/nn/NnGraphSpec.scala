@@ -85,6 +85,24 @@ class NnGraphSpec extends SparkSpec {
       assert(l > 0 && !l.isNaN)
     }
 
+    it("trainSync (treeAggregate path) converges and is deterministic") {
+      val ae = TwoViewAe.cncSized(6, 4, hidden = Seq(8), embed = 3)
+      val cfg = Trainer.Config(lr = 1e-2, weightDecay = 1e-6,
+        batchSize = 0 /* unused in sync mode */, epochs = 14, seed = 21)
+      val t1 = Trainer.trainSync(data, Trainer.TwoViewModel(ae), cfg)
+      val first3 = t1.epochLosses.take(3).sum / 3
+      val last3 = t1.epochLosses.takeRight(3).sum / 3
+      assert(last3 < first3,
+        s"sync loss did not fall: ${t1.epochLosses.mkString(", ")}")
+      assert(t1.epochLosses.forall(l => !l.isNaN && !l.isInfinite))
+      // first-epoch loss is deterministic (same init + per-partition
+      // seeds); later epochs drift at FP level because treeReduce's
+      // gradient-summation order varies — inherent to synchronous
+      // data-parallel reduction (same as Spark ML's treeAggregate).
+      val t2 = Trainer.trainSync(data, Trainer.TwoViewModel(ae), cfg)
+      assert(math.abs(t1.epochLosses.head - t2.epochLosses.head) < 1e-12)
+    }
+
     it("MOCSS graph model trains and embeds (spec1||spec2||avg shared)") {
       val arch = ArchZoo.mocss(6, 4, reconMultiplier = 0.7)
       val t = Trainer.train(data, arch.model,
