@@ -93,6 +93,29 @@ object Smoke {
     tcga.reconTable.collect().foreach(r => println(s"[smoke] tcga recon $r"))
     tcga.nbTable.collect().foreach(r => println(s"[smoke] tcga nb $r"))
     require(tcga.trainCount == 48 && tcga.testCount == 12)
+
+    // Optional t-SNE drive (M12): 2-D projection of AE embeddings —
+    // the tsn_visulization.py analog. Driver-local O(n²); env-gated to
+    // keep the default smoke fast.
+    if (sys.env.get("SPARK_GRAFT_SMOKE_TSNE").contains("1")) {
+      import graft.etl._
+      import org.apache.spark.sql.functions._
+      val m = OmicsReader.readTransposed(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SIM_FILE",
+          "/root/reference/Simulation_Data/miRNA_seq_2_groups_1_diff.csv"))
+      val labeled = LabelCodec.withDerivedLabel(m.data,
+        LabelCodec.simulationLabelMap)
+      val scaled = Scalers.fitTransform(labeled)
+      val proj = graft.ml.Tsne.embed2d(scaled,
+        cfg = graft.ml.Tsne.Config(perplexity = 20, iters = 500))
+        .join(labeled.select("sample_id", "label"), "sample_id")
+      val sep = proj.groupBy("label")
+        .agg(round(avg("tsne_1"), 2).as("c1"), round(avg("tsne_2"), 2).as("c2"),
+          round(stddev_pop("tsne_1"), 2).as("s1"))
+        .collect()
+      sep.foreach(r => println(s"[smoke] tsne $r"))
+      require(sep.length >= 2)
+    }
     spark.stop()
   }
 }
