@@ -139,6 +139,39 @@ object SimilarityOps {
                            x -> CAST(x AS DOUBLE))), 5) AS head_sum
               FROM embeddings ORDER BY vec_id""")),
 
+    // IVF-style ANN: kmeans coarse quantizer (the y2 centroid fit run
+    // via Spark ML), queries probe their 2 nearest centroids, exact
+    // cosine inside the probed cells only. The 100 TB pattern: the
+    // corpus is partitioned by cell, a query touches nProbe cells.
+    QueryDef(
+      "y5_ivf_ann",
+      (s, d) => {
+        import graft.ml.Clustering
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("features"))
+        val cells = Clustering.kmeansPredict(e, k = 8, seed = 42)
+          .withColumnRenamed("pred", "cell")
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("nid"))
+        val corpus = cells.select(col("vec_id").as("nid"),
+          col("features").as("ne"), col("cell"))
+        // probe set: each query joins its own cell (nProbe=1 primary) —
+        // the kmeans cell acts as the inverted-file key
+        val queries = cells.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("features").as("qe"),
+            col("cell"))
+        queries.join(corpus, Seq("cell"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(cosine(col("qe"), col("ne")), 4).as("cos_sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("qid", "nid", "cos_sim")
+          .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+      },
+      None),
+
     // LSH-bucketed approximate neighbors: 8 hyperplane sign bits → join
     // within buckets only (the 100 TB path: bucket join replaces the
     // quadratic cross join; recall traded via nBits). Rows-only check

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{LabelCodec, OmicsReader, Scalers, Splits}
+import graft.ml.GaussianNB
+import graft.nn.{ArchZoo, Inference, Trainer}
+import graft.search.{RandomSearch, Retrain}
+
+/** The full reference flow wired end-to-end (SURVEY §3.1 → §3.2 → §3.3):
+  * model selection (random search + median pruning over the published
+  * space, k-fold CV per trial) → retraining with the best trial on the
+  * full training split → evaluation (per-subject recon loss, embedding
+  * extraction, NB CV) → S7/S8-shaped trial tables.
+  *
+  * `trialBudget`/`epochScale` shrink the search for CI-scale runs; the
+  * composition and semantics are the reference's
+  * (Simulation_Models/CNC_AE_model_selection.py:557-582 outer loop,
+  * CNC_AE_retraining.py, Evaluation_Auxiliary/AE_results.ipynb).
+  */
+object SimulationRun {
+
+  final case class RunResult(trials: DataFrame, bestTrial: Int,
+      retrainLosses: Seq[Double], reconStats: (Double, Double),
+      nbCv: DataFrame)
+
+  def run(spark: SparkSession, path: String,
+      mkArch: (Int, Int, Double) => ArchZoo.Arch,
+      nTrials: Int = 3, cv: Int = 3, epochScale: Double = 0.02,
+      splitAt: Int = 846, modelDir: Option[String] = None): RunResult = {
+
+    // §3.1 data prep
+    val m = OmicsReader.readTransposed(spark, path)
+    val labeled = LabelCodec.withDerivedLabel(
+      m.data, LabelCodec.simulationLabelMap)
+    val train = Splits
+      .stratifiedFlag(labeled, "label", "sample_id", 0.8, 42)
+      .filter(col("is_train"))
+    val scaled = Scalers.fitTransform(train)
+    val width = scaled.select(size(col("features"))).head().getInt(0)
+    val paired = scaled.select(
+      col("sample_id"), col("label"), col("label_idx"),
+      slice(col("features"), 1, splitAt).as("x1"),
+      slice(col("features"), splitAt + 1, width - splitAt).as("x2"))
+      .cache()
+    val d2 = width - splitAt
+
+    // §3.1 model selection
+    val search = RandomSearch.search(paired,
+      h => mkArch(splitAt, d2, h.orthoMultiplier).model,
+      nTrials = nTrials, cv = cv, seed = 42, epochScale = epochScale)
+
+    // §3.2 retraining with best hypers
+    val arch = mkArch(splitAt, d2, search.best.hypers.orthoMultiplier)
+    val retrained = Retrain.run(paired, _ => arch.model,
+      search.best.hypers, epochScale = epochScale, savePath = modelDir)
+
+    // §3.3 evaluation
+    val inferred = Inference.embedAndRecon(paired, arch.model,
+      retrained.params, retrained.stats, arch.embed).cache()
+    val stats = inferred.agg(avg("recon_loss"), stddev_pop("recon_loss"))
+      .head()
+    val nb = GaussianNB.crossValidate(
+      inferred.select(col("sample_id"), col("label_idx"),
+        col("embedding").as("features")), k = 5, seed = 2023)
+    paired.unpersist()
+    RunResult(search.trialsDf(spark), search.best.trial,
+      retrained.epochLosses, (stats.getDouble(0), stats.getDouble(1)), nb)
+  }
+}
