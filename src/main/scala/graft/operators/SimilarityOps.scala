@@ -19,13 +19,21 @@ import graft.{QueryDef, Tables => T}
 object SimilarityOps {
 
   /** Cosine similarity of two array<float> columns, accumulated in double
-    * (sequential, same order as DuckDB list_sum — bit-stable). */
+    * (sequential, same order as DuckDB list_sum — bit-stable). HOF form;
+    * kept as the reference implementation the native expression is
+    * tested against. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) = aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Codegen'd native cosine (graft.functions.CosineSimilarity): one
+    * fused loop, bit-identical to [[cosine]] (same sequential double
+    * accumulation) — used on the k-NN hot paths. */
+  def fastCosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
 
   /** Sign-bit LSH bucket id from `nBits` pseudo-random hyperplanes. The
     * hyperplane components are seeded integer hashes mapped to [-1, 1] —
@@ -103,7 +111,7 @@ object SimilarityOps {
           .crossJoin(broadcast(queries))
           .filter(col("nid") =!= col("qid"))
           .select(col("qid"), col("nid"),
-            round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+            round(fastCosine(col("embedding"), col("qe")), 4).as("cos_sim"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select("qid", "nid", "cos_sim")
@@ -164,7 +172,7 @@ object SimilarityOps {
         queries.join(corpus, Seq("cell"))
           .filter(col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"),
-            round(cosine(col("qe"), col("ne")), 4).as("cos_sim"))
+            round(fastCosine(col("qe"), col("ne")), 4).as("cos_sim"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select("qid", "nid", "cos_sim")
@@ -189,7 +197,7 @@ object SimilarityOps {
         a.join(b, Seq("bucket"))
           .filter(col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"),
-            round(cosine(col("qe"), col("embedding")), 4).as("cos_sim"))
+            round(fastCosine(col("qe"), col("embedding")), 4).as("cos_sim"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select("qid", "nid", "cos_sim")

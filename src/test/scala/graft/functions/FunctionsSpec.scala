@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Jdbc
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  describe("CosineSimilarity native expression") {
+    it("matches the HOF implementation on the embeddings table") {
+      CosineSimilarity.register(spark)
+      val e = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val joined = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val native = joined.selectExpr("vec_id",
+          "round(graft_cosine(embedding, qe), 9) AS c")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val hof = joined.select(col("vec_id"),
+          round(graft.operators.SimilarityOps.cosine(
+            col("embedding"), col("qe")), 9).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(native == hof)
+    }
+
+    it("survives whole-stage codegen and interpreted paths identically") {
+      CosineSimilarity.register(spark)
+      import spark.implicits._
+      val df = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0)))
+        .toDF("a", "b")
+      val v = df.selectExpr("graft_cosine(a, b)").head().getDouble(0)
+      val expected = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+      assert(math.abs(v - expected) < 1e-12)
+    }
+  }
+
+  describe("Jdbc source/sink (embedded Derby)") {
+    it("writes customers to Derby and reads them back partitioned") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-derby")
+        .resolve("db").toString
+      val url = Jdbc.derbyUrl(dir)
+      val customers = spark.read
+        .parquet("/root/testdata/sf0.001/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal")
+      Jdbc.write(customers, url, "customers")
+      val back = Jdbc.read(spark, url, "customers", "c_custkey",
+        0, 2000, numPartitions = 4)
+      assert(back.rdd.getNumPartitions == 4)
+      assert(back.count() == customers.count())
+      val a = customers.orderBy("c_custkey").collect().map(_.toSeq)
+      val b = back.orderBy("c_custkey").collect().map(_.toSeq)
+      assert(a.sameElements(b))
+      // pushdown reaches the JDBC source
+      val filtered = Jdbc.readAll(spark, url, "customers")
+        .filter(col("c_acctbal") > 5000)
+      assert(filtered.count() ==
+        customers.filter(col("c_acctbal") > 5000).count())
+    }
+  }
+}
