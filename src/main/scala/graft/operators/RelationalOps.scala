@@ -209,6 +209,27 @@ object RelationalOps {
                       (row_number() OVER (ORDER BY ${knuthSql("c_custkey", 21)}, c_custkey) - 1) % 5 AS fold
                FROM customer ORDER BY c_custkey""")),
 
+    // SP3: STRATIFIED k-fold — round-robin within each class over the
+    // seeded order (Evaluation_Auxiliary/nb_classification.py:20).
+    QueryDef(
+      "sp3_stratified_fold",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(knuthHash(col("c_custkey"), 21), col("c_custkey"))
+        T.customer(s, d)
+          .withColumn("fold", pmod(row_number().over(w) - 1, lit(5)))
+          .groupBy("c_mktsegment", "fold")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("c_mktsegment", "fold")
+      },
+      Some(s"""SELECT c_mktsegment, fold, count(*) AS n FROM (
+                 SELECT c_mktsegment,
+                        (row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY ${knuthSql("c_custkey", 21)}, c_custkey) - 1) % 5
+                          AS fold
+                 FROM customer)
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- §2.5 aggregations ----------------------------------------------
     // A1: per-group min/max fit + rescale (MinMaxScaler,
     // TCGA_Auxiliary/Data_prep.py:72-76). Window min/max is exact (no

@@ -227,7 +227,9 @@ object TextOps {
     QueryDef(
       "x10_langid",
       (s, d) => {
-        val toks = tokens(lower(col("text")))
+        // tokenize ONCE into a materialized column — each score filter
+        // then scans the array instead of re-splitting the text
+        val toks = col("__toks")
         def score(words: String*) =
           size(Fn.filter(toks, t => t.isin(words: _*)))
         val en = score("the", "and", "of", "to", "is", "in")
@@ -241,6 +243,7 @@ object TextOps {
           .when(es >= fr, "es")
           .otherwise("fr")
         T.documents(s, d)
+          .withColumn("__toks", tokens(lower(col("text"))))
           .withColumn("pred", pred)
           .groupBy("lang", "pred")
           .agg(count(lit(1)).as("n"))

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale must stay in the plan — pushdown reaching the parquet
+  * scan, broadcast for small join sides, TakeOrderedAndProject for
+  * top-k (no global sort), map-side partial aggregation.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  it("s1_scan_project pushes the filter and prunes columns at the scan") {
+    val p = planOf("s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  it("j1_equi_join broadcasts the dimension side") {
+    assert(planOf("j1_equi_join").contains("BroadcastHashJoin"))
+  }
+
+  it("p1_semi_join stays a broadcast semi join") {
+    val p = planOf("p1_semi_join")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  it("o1_topk uses TakeOrderedAndProject (no global sort)") {
+    assert(planOf("o1_topk").contains("TakeOrderedAndProject"))
+  }
+
+  it("a2_group_count partial-aggregates map-side") {
+    assert(planOf("a2_group_count").contains("partial_count"))
+  }
+
+  it("y1_cosine_topk broadcasts the query vector and take-orders") {
+    val p = planOf("y1_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  it("x4_dedup_exact is a single hash-aggregate pipeline (no join)") {
+    val p = planOf("x4_dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+}
