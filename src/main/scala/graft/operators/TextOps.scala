@@ -220,6 +220,47 @@ object TextOps {
         .orderBy("doc_id"),
       None),
 
+    // BPE-ish token counting: word / number / punctuation pieces via a
+    // lookahead-free pattern (portable across Java regex and RE2) —
+    // the cheap LLM-token estimator next to the whitespace count (x2).
+    QueryDef(
+      "x12_bpe_tokens",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_pieces"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                       AS n_pieces
+              FROM documents ORDER BY doc_id""")),
+
+    // Embedding-cosine near-dup: LSH-bucketed candidate pairs above a
+    // similarity threshold — the semantic-dedup step of a training-data
+    // pipeline. (Production threshold ≈0.95+; the synthetic embeddings
+    // are near-orthogonal, so 0.25 here keeps the operator observable.)
+    // Rows-only: seeded hyperplanes.
+    QueryDef(
+      "x11_embed_neardup",
+      (s, d) => {
+        import graft.{Tables => TT}
+        val e = TT.embeddings(s, d)
+          .withColumn("bucket",
+            SimilarityOps.lshBucket(col("embedding"), 8, 64, 42L))
+        val a = e.select(col("vec_id").as("id_a"),
+          col("embedding").as("e_a"), col("bucket"))
+        val b = e.select(col("vec_id").as("id_b"),
+          col("embedding").as("e_b"), col("bucket"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(SimilarityOps.fastCosine(col("e_a"), col("e_b")), 4)
+              .as("cos_sim"))
+          .filter(col("cos_sim") >= 0.25)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // Language-ID heuristic: stopword-profile voting + CJK detection.
     // (The synthetic corpus shares one vocabulary across `lang` labels, so
     // the output is the predicted-language distribution per labeled lang,
