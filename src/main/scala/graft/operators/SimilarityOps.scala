@@ -158,7 +158,9 @@ object SimilarityOps {
         val e = T.embeddings(s, d)
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double")).as("features"))
-        val cells = Clustering.kmeansPredict(e, k = 8, seed = 42)
+        // coarse quantizer: few iterations suffice for bucketing quality
+        val cells = Clustering.kmeansPredict(e, k = 8, seed = 42,
+            maxIter = 5)
           .withColumnRenamed("pred", "cell")
         val w = Window.partitionBy("qid")
           .orderBy(col("cos_sim").desc, col("nid"))
