@@ -13,9 +13,14 @@ import graft.operators.{ExtensionOps, MetricOps, RelationalOps, SimilarityOps, T
   */
 object SparkEntry {
 
-  private val allDefs: Seq[QueryDef] =
-    RelationalOps.defs ++ TextOps.defs ++ SimilarityOps.defs ++
+  private val allDefs: Seq[QueryDef] = {
+    val defs = RelationalOps.defs ++ TextOps.defs ++ SimilarityOps.defs ++
       MetricOps.defs ++ ExtensionOps.defs
+    val dupes = defs.groupBy(_.name).filter(_._2.length > 1).keys
+    require(dupes.isEmpty,
+      s"duplicate query names would silently collapse: ${dupes.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped pricing summary: scan → filter → hash-agg → sort —

@@ -87,6 +87,19 @@ object OmicsReader {
     OmicsMatrix(data, names)
   }
 
+  /** S5 — whitespace-delimited numeric matrix (np.loadtxt semantics:
+    * any run of whitespace separates, no header —
+    * ref: Simulation_Auxiliary/test_metrics.py:5). Row order preserved
+    * via a bounded window (matrices are feature/sample-scale). */
+  def readWhitespaceMatrix(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumn("row_idx",
+        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+          .cast("int"))
+      .select(col("row_idx"),
+        transform(split(trim(col("value")), "\\s+"),
+          s => s.cast("double")).as("values"))
+
   /** Positionally-aligned label file (single column, no header beyond a
     * `0` placeholder — ref: TCGA_Data/labels.csv, AE_results.ipynb cell
     * 67). Joined to samples by row position.

@@ -25,6 +25,12 @@ object ResultTables {
       .select(col("key"), explode(col("values")).as("value"))
   }
 
+  /** P6 — dict-style key filter: keep entries whose key contains the
+    * setting substring (AE_results.ipynb cell 28:
+    * `{k: v for k, v in d.items() if setting in k}`). */
+  def filterKeys(df: DataFrame, setting: String): DataFrame =
+    df.filter(col("key").contains(setting))
+
   /** F5 — '_'.join(key.split('_')[:n]). */
   def truncateKey(n: Int): org.apache.spark.sql.Column =
     concat_ws("_", slice(split(col("key"), "_"), 1, n))

@@ -97,6 +97,30 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  describe("OmicsReader.readWhitespaceMatrix (S5)") {
+    it("parses np.loadtxt-style whitespace matrices with row order") {
+      val f = java.nio.file.Files.createTempFile("graft-ws", ".txt")
+      java.nio.file.Files.writeString(f,
+        "1.0  2.5\t3\n  4 5.5   6.25\n7 8 9\n")
+      val m = OmicsReader.readWhitespaceMatrix(spark, f.toString)
+        .orderBy("row_idx").collect()
+      assert(m.length == 3)
+      assert(m(0).getSeq[Double](1) == Seq(1.0, 2.5, 3.0))
+      assert(m(1).getSeq[Double](1) == Seq(4.0, 5.5, 6.25))
+    }
+  }
+
+  describe("ResultTables.filterKeys (P6)") {
+    it("keeps entries whose key contains the setting") {
+      import spark.implicits._
+      val df = Seq(("CNC_2_groups", 1.0), ("CNC_3_groups", 2.0),
+        ("XAE_2_groups", 3.0)).toDF("key", "value")
+      val kept = graft.pipeline.ResultTables.filterKeys(df, "2_groups")
+        .collect().map(_.getString(0)).toSet
+      assert(kept == Set("CNC_2_groups", "XAE_2_groups"))
+    }
+  }
+
   describe("Align.pair (J1)") {
     import spark.implicits._
     it("pairs aligned views and rejects misaligned ones") {
