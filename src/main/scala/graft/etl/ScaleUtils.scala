@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The two shuffle weapons SCALE.md leans on, as working utilities:
+  *
+  *  - Salting: a hot grouping key is split into `salt` sub-keys so its
+  *    rows spread over `salt` reducers; a second (tiny) aggregation
+  *    merges the partials. For algebraic aggregates this is exact.
+  *  - Bucketing: co-partitioned, co-sorted table layout so equi-joins
+  *    on the bucket key need NO shuffle at read time (plan shows no
+  *    Exchange above the scans).
+  */
+object ScaleUtils {
+
+  /** Exact two-phase salted sum/count aggregation:
+    * groupBy(keys, salt) partial → groupBy(keys) merge. Use when one
+    * key dominates (AQE skew-join covers joins; this covers groupBy).
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      salt: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__psum").as(s"sum_$valueCol"),
+        sum("__pcnt").as("cnt"))
+  }
+
+  /** Writes both sides bucketed+sorted by the join key into the session
+    * catalog (requires a warehouse dir), so subsequent joins on that
+    * key are shuffle-free sort-merge joins. Returns the bucketed frames
+    * read back from the catalog. */
+  def bucketedPair(spark: SparkSession, left: DataFrame, right: DataFrame,
+      key: String, buckets: Int, leftName: String, rightName: String)
+      : (DataFrame, DataFrame) = {
+    def writeBucketed(df: DataFrame, name: String): Unit = {
+      // a fresh metastore with a stale warehouse dir (prior JVM) refuses
+      // the location — drop metadata AND the directory first
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), name)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    }
+    writeBucketed(left, leftName)
+    writeBucketed(right, rightName)
+    (spark.table(leftName), spark.table(rightName))
+  }
+}

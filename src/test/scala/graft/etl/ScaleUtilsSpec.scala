@@ -1,0 +1,52 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleUtilsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  describe("saltedSumCount (skewed groupBy)") {
+    it("is exact vs the direct aggregation") {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val direct = li.groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_l_quantity"), count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      val salted = ScaleUtils
+        .saltedSumCount(li, Seq("l_returnflag"), "l_quantity")
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      assert(salted.keySet == direct.keySet)
+      salted.foreach { case (k, (s, c)) =>
+        assert(math.abs(s - direct(k)._1) < 1e-6 && c == direct(k)._2)
+      }
+    }
+  }
+
+  describe("bucketedPair (shuffle-free equi-join)") {
+    it("joins bucketed tables without an Exchange") {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      val l = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val (bo, bl) = ScaleUtils.bucketedPair(spark, o, l,
+        "o_orderkey", buckets = 4, "t_orders_b", "t_lineitem_b")
+      // disable broadcast so the join strategy is the bucket-aware SMJ
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = bo.join(bl, "o_orderkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), plan)
+        assert(joined.count() ==
+          o.join(l, "o_orderkey").count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      }
+    }
+  }
+}
