@@ -145,9 +145,14 @@ object Trainer {
     * required. Exact mini-batch parity is what [[train]] provides; this
     * trades batch-order semantics for cluster throughput.
     */
+  /** `gradChunks > 1` bounds the reduction/driver peak to
+    * paramCount/gradChunks doubles: per-partition gradients are cached
+    * once per epoch, then reduced slice by slice (the SURVEY §4.4
+    * per-layer-aggregation mitigation for 45 M-param search maxima —
+    * sequential chunk jobs trade latency for bounded memory). */
   def trainSync(df: DataFrame, model: AeModel, cfg: Config,
       x1Col: String = "x1", x2Col: String = "x2",
-      treeDepth: Int = 2): Trained = {
+      treeDepth: Int = 2, gradChunks: Int = 1): Trained = {
     val rdd = df.select(x1Col, x2Col).rdd
       .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
       .cache()
@@ -169,10 +174,9 @@ object Trainer {
           mat(rows.map(_._1).toIndexedSeq), mat(rows.map(_._2).toIndexedSeq),
           new java.util.Random(seedBase + pid)))
       }
-      val agg = partial.treeReduce({ (a, b) =>
+      def mergeStats(a: Kernel.BatchResult,
+          b: Kernel.BatchResult): Kernel.BatchResult = {
         var i = 0
-        while (i < a.grads.length) { a.grads(i) += b.grads(i); i += 1 }
-        i = 0
         // weighted merge of per-replica BN batch stats
         while (i < a.batchStats.length) {
           a.batchStats(i) = (a.batchStats(i) * a.n + b.batchStats(i) * b.n) /
@@ -181,15 +185,53 @@ object Trainer {
         }
         Kernel.BatchResult(a.loss * a.n / (a.n + b.n) +
           b.loss * b.n / (a.n + b.n), a.grads, a.batchStats, a.n + b.n)
-      }, treeDepth)
-      adam.step(params, agg.grads)
+      }
+
+      val (aggLoss, aggStats, fullGrads) =
+        if (gradChunks <= 1) {
+          val agg = partial.treeReduce({ (a, b) =>
+            var i = 0
+            while (i < a.grads.length) { a.grads(i) += b.grads(i); i += 1 }
+            mergeStats(a, b)
+          }, treeDepth)
+          (agg.loss, agg.batchStats, agg.grads)
+        } else {
+          // cache per-partition results once; reduce loss/stats without
+          // gradients, then the gradient slice by slice
+          val cached = partial.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val light = cached
+            .map(r => Kernel.BatchResult(r.loss, Array.empty,
+              r.batchStats.clone(), r.n))
+            .treeReduce(mergeStats, treeDepth)
+          val grads = new Array[Double](model.paramCount)
+          val chunkLen = (model.paramCount + gradChunks - 1) / gradChunks
+          for (c <- 0 until gradChunks) {
+            val lo = c * chunkLen
+            val hi = math.min(lo + chunkLen, model.paramCount)
+            if (hi > lo) {
+              val slice = cached
+                .map(r => java.util.Arrays.copyOfRange(r.grads, lo, hi))
+                .treeReduce({ (a, b) =>
+                  var i = 0
+                  while (i < a.length) { a(i) += b(i); i += 1 }
+                  a
+                }, treeDepth)
+              System.arraycopy(slice, 0, grads, lo, hi - lo)
+            }
+          }
+          cached.unpersist(false)
+          (light.loss, light.batchStats, grads)
+        }
+
+      adam.step(params, fullGrads)
       var i = 0
       while (i < stats.length) {
         stats(i) = (1 - Kernel.BnMomentum) * stats(i) +
-          Kernel.BnMomentum * agg.batchStats(i)
+          Kernel.BnMomentum * aggStats(i)
         i += 1
       }
-      losses += agg.loss
+      losses += aggLoss
       bcParams.destroy(); bcStats.destroy()
     }
     rdd.unpersist(false)

@@ -103,6 +103,20 @@ class NnGraphSpec extends SparkSpec {
       assert(math.abs(t1.epochLosses.head - t2.epochLosses.head) < 1e-12)
     }
 
+    it("chunked gradient reduction matches the unchunked first epoch") {
+      val ae = TwoViewAe.cncSized(6, 4, hidden = Seq(8), embed = 3)
+      val cfg = Trainer.Config(lr = 1e-2, weightDecay = 1e-6,
+        batchSize = 0, epochs = 6, seed = 21)
+      val whole = Trainer.trainSync(data, Trainer.TwoViewModel(ae), cfg)
+      val chunked = Trainer.trainSync(data, Trainer.TwoViewModel(ae), cfg,
+        gradChunks = 7)
+      // forward pass from identical init → identical first-epoch loss;
+      // later epochs drift at FP level (reduction order)
+      assert(math.abs(whole.epochLosses.head - chunked.epochLosses.head)
+        < 1e-12)
+      assert(chunked.epochLosses.last < chunked.epochLosses.head)
+    }
+
     it("MOCSS graph model trains and embeds (spec1||spec2||avg shared)") {
       val arch = ArchZoo.mocss(6, 4, reconMultiplier = 0.7)
       val t = Trainer.train(data, arch.model,
