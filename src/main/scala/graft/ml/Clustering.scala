@@ -1,10 +1,12 @@
 package graft.ml
 
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
 
 /** Spark ML wrappers for the reference's clustering / projection calls.
   *
@@ -26,6 +28,30 @@ object Clustering {
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__vec").setPredictionCol("pred")
       .fit(prepared)
+    model.transform(prepared).drop("__vec")
+      .withColumn("pred", col("pred").cast("long"))
+  }
+
+  private val modelCache = TrieMap.empty[String, KMeansModel]
+
+  /** Fit-once quantizer: the IVF coarse index is built one time per
+    * `key` (dataset + k) and reused by every subsequent query — never
+    * re-fit inside a query body. Cache is per-JVM (driver-resident
+    * model, k centroids ≪ data). */
+  def kmeansModelCached(key: String, df: DataFrame, k: Int, seed: Long = 21,
+      featuresCol: String = "features", maxIter: Int = 50): KMeansModel =
+    modelCache.getOrElseUpdate(key, {
+      val prepared = df.withColumn("__vec", array_to_vector(col(featuresCol)))
+      new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("__vec").setPredictionCol("pred")
+        .fit(prepared)
+    })
+
+  /** Assigns `pred` cells with an already-fit model (no re-fit). */
+  def predictWith(model: KMeansModel, df: DataFrame,
+      featuresCol: String = "features"): DataFrame = {
+    val prepared = df.withColumn("__vec", array_to_vector(col(featuresCol)))
     model.transform(prepared).drop("__vec")
       .withColumn("pred", col("pred").cast("long"))
   }

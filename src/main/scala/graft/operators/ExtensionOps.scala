@@ -19,14 +19,19 @@ object ExtensionOps {
         Multimodal.syntheticAssets(T.documents(s, d))),
       None),
 
-    // Video frame sampling fan-out (one row per sampled frame).
+    // Video frame sampling fan-out (one row per sampled frame). Oracle:
+    // the synthetic-asset rules are arithmetic on `documents` — video ⇔
+    // doc_id % 3 = 2, duration_ms = n_chars*10, frames = ⌊dur/200⌋ + 1
+    // (sequence(0, dur, 200) is stop-inclusive).
     QueryDef(
       "z2_frame_sample",
       (s, d) => Multimodal.sampleFrames(
           Multimodal.syntheticAssets(T.documents(s, d)), everyMs = 200)
         .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("asset_id"),
-      None),
+      Some("""SELECT doc_id AS asset_id,
+                     CAST(n_chars * 10 // 200 + 1 AS BIGINT) AS n_frames
+              FROM documents WHERE doc_id % 3 = 2 ORDER BY asset_id""")),
 
     // Hourly event rollup (batch view of the streaming windowed agg;
     // nanos timestamps normalized on read).

@@ -17,20 +17,20 @@ object MetricOps {
   val defs: Seq[QueryDef] = Seq(
 
     // M4/M5/M6 — NMI (arithmetic), ARI, Fowlkes-Mallows of
-    // o_orderstatus vs o_orderpriority.
+    // o_orderstatus vs o_orderpriority. ONE scan of orders: a single
+    // contingency groupBy collected (≤k² rows), all three metrics
+    // finished driver-locally.
     QueryDef(
       "m4_cluster_agreement",
       (s, d) => {
         val df = T.orders(s, d)
           .select(col("o_orderstatus").as("label"),
             col("o_orderpriority").as("pred"))
-        val nmi = ClusteringMetrics.nmi(df)
-        val ari = ClusteringMetrics.ari(df)
-        val fm = ClusteringMetrics.fowlkesMallows(df)
+        val a = ClusteringMetrics.agreement(df)
         s.range(1).select(
-          round(lit(nmi), 6).as("nmi"),
-          round(lit(ari), 6).as("ari"),
-          round(lit(fm), 6).as("fm"))
+          round(lit(a.nmi), 6).as("nmi"),
+          round(lit(a.ari), 6).as("ari"),
+          round(lit(a.fowlkesMallows), 6).as("fm"))
       },
       Some("""WITH c AS (SELECT o_orderstatus AS l, o_orderpriority AS p,
                                 CAST(count(*) AS DOUBLE) AS cnt
@@ -57,6 +57,41 @@ object MetricOps {
                          / ((sa + sb) / 2 - sa * sb / (n * (n - 1) / 2)), 6) AS ari,
                      round(sij / sqrt(sa * sb), 6) AS fm
               FROM mi, hu, hv, pairs""")),
+
+    // M8 — v-measure (homogeneity / completeness / harmonic mean) of the
+    // same categorical pair; same single-contingency-scan finish
+    // (ref import: Simulation_Models/CNC_AE_model_selection.py:20).
+    QueryDef(
+      "m8_vmeasure",
+      (s, d) => {
+        val df = T.orders(s, d)
+          .select(col("o_orderstatus").as("label"),
+            col("o_orderpriority").as("pred"))
+        val a = ClusteringMetrics.agreement(df)
+        s.range(1).select(
+          round(lit(a.homogeneity), 6).as("homogeneity"),
+          round(lit(a.completeness), 6).as("completeness"),
+          round(lit(a.vMeasure), 6).as("v_measure"))
+      },
+      Some("""WITH c AS (SELECT o_orderstatus AS l, o_orderpriority AS p,
+                                CAST(count(*) AS DOUBLE) AS cnt
+                         FROM orders GROUP BY 1, 2),
+                   n AS (SELECT sum(cnt) AS n FROM c),
+                   a AS (SELECT l, sum(cnt) AS m FROM c GROUP BY l),
+                   b AS (SELECT p, sum(cnt) AS m FROM c GROUP BY p),
+                   hc AS (SELECT -sum(m / n.n * ln(m / n.n)) AS h FROM a, n),
+                   hk AS (SELECT -sum(m / n.n * ln(m / n.n)) AS h FROM b, n),
+                   hck AS (SELECT -sum(cnt / n.n * ln(cnt / b.m)) AS h
+                           FROM c JOIN b ON c.p = b.p, n),
+                   hkc AS (SELECT -sum(cnt / n.n * ln(cnt / a.m)) AS h
+                           FROM c JOIN a ON c.l = a.l, n),
+                   hcv AS (SELECT 1 - hck.h / hc.h AS hom,
+                                  1 - hkc.h / hk.h AS com
+                           FROM hck, hc, hkc, hk)
+              SELECT round(hom, 6) AS homogeneity,
+                     round(com, 6) AS completeness,
+                     round(2 * hom * com / (hom + com), 6) AS v_measure
+              FROM hcv""")),
 
     // M7 — Hungarian-remapped accuracy (k×k assignment solved on the
     // driver; not ANSI-SQL-expressible → rows-only).

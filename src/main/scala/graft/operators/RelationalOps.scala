@@ -194,19 +194,20 @@ object RelationalOps {
                WHERE rn <= round(cnt * 0.8)
                ORDER BY c_custkey""")),
 
-    // SP2: k-fold assignment, k=5, seeded shuffle
-    // (CNC_AE_model_selection.py:346-358).
+    // SP2: k-fold assignment, k=5, seeded
+    // (CNC_AE_model_selection.py:346-358). fold = seeded-hash(key) % 5:
+    // embarrassingly parallel (pure per-row expression, no window, no
+    // shuffle) — the global-ORDER-BY row_number formulation funnels every
+    // row through ONE task at scale. Fold sizes are binomial around n/5
+    // (exact-equality splits stay available via SP3's per-class window).
     QueryDef(
       "sp2_fold_assign",
-      (s, d) => {
-        val w = Window.orderBy(knuthHash(col("c_custkey"), 21), col("c_custkey"))
-        T.customer(s, d)
-          .withColumn("fold", pmod(row_number().over(w) - 1, lit(5)))
-          .select("c_custkey", "fold")
-          .orderBy("c_custkey")
-      },
+      (s, d) => T.customer(s, d)
+        .withColumn("fold", pmod(knuthHash(col("c_custkey"), 21), lit(5)))
+        .select("c_custkey", "fold")
+        .orderBy("c_custkey"),
       Some(s"""SELECT c_custkey,
-                      (row_number() OVER (ORDER BY ${knuthSql("c_custkey", 21)}, c_custkey) - 1) % 5 AS fold
+                      CAST(${knuthSql("c_custkey", 21)} % 5 AS BIGINT) AS fold
                FROM customer ORDER BY c_custkey""")),
 
     // SP3: STRATIFIED k-fold — round-robin within each class over the
@@ -232,15 +233,18 @@ object RelationalOps {
 
     // ---- §2.5 aggregations ----------------------------------------------
     // A1: per-group min/max fit + rescale (MinMaxScaler,
-    // TCGA_Auxiliary/Data_prep.py:72-76). Window min/max is exact (no
-    // summation-order drift), so the rescaled doubles hash-match.
+    // TCGA_Auxiliary/Data_prep.py:72-76). fit = groupBy(flag).agg(min,max)
+    // (map-side combinable, ≤3 result rows) broadcast-joined back — a
+    // window PARTITION BY a 3-value key would shuffle the whole table
+    // into ≤3 partitions at scale. min/max are exact (no summation-order
+    // drift), so the rescaled doubles hash-match.
     QueryDef(
       "a1_minmax_rescale",
       (s, d) => {
-        val w = Window.partitionBy("l_returnflag")
-        T.lineitem(s, d)
-          .withColumn("mn", min("l_extendedprice").over(w))
-          .withColumn("mx", max("l_extendedprice").over(w))
+        val li = T.lineitem(s, d)
+        val mm = li.groupBy("l_returnflag")
+          .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+        li.join(broadcast(mm), Seq("l_returnflag"))
           .select(col("l_orderkey"), col("l_linenumber"),
             round((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")), 6)
               .as("scaled"))
@@ -387,8 +391,11 @@ object RelationalOps {
           .select("o_orderstatus", "o_orderpriority", "cost")
           .orderBy("o_orderstatus", "o_orderpriority")
       },
+      // DuckDB sums integers into HUGEINT; cast back to BIGINT so the
+      // hash matches Spark's LongType.
       Some("""SELECT o_orderstatus, o_orderpriority,
-                     sum(cnt) OVER (PARTITION BY o_orderpriority) - cnt AS cost
+                     CAST(sum(cnt) OVER (PARTITION BY o_orderpriority) - cnt
+                          AS BIGINT) AS cost
               FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
                     FROM orders GROUP BY 1, 2)
               ORDER BY o_orderstatus, o_orderpriority""")),

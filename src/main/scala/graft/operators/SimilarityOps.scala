@@ -35,6 +35,19 @@ object SimilarityOps {
   def fastCosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosine_sim(a, b)
 
+  /** LSH bit-width sized to the corpus: 2^nBits ≈ n / targetPerBucket, so
+    * expected bucket occupancy stays ~constant and within-bucket verify
+    * work grows O(n·target) — a FIXED bit-width degrades O(n²/2^bits) as
+    * the corpus grows 100×. Floored at `minBits` so tiny test corpora
+    * keep observable recall; capped so the bucket id fits comfortably in
+    * a long alongside multi-table offsets. */
+  def scaledLshBits(n: Long, targetPerBucket: Long = 64, minBits: Int = 8,
+      maxBits: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   /** Sign-bit LSH bucket id from `nBits` pseudo-random hyperplanes. The
     * hyperplane components are seeded integer hashes mapped to [-1, 1] —
     * deterministic, no RNG state, identical on every executor. */
@@ -147,10 +160,11 @@ object SimilarityOps {
                            x -> CAST(x AS DOUBLE))), 5) AS head_sum
               FROM embeddings ORDER BY vec_id""")),
 
-    // IVF-style ANN: kmeans coarse quantizer (the y2 centroid fit run
-    // via Spark ML), queries probe their 2 nearest centroids, exact
-    // cosine inside the probed cells only. The 100 TB pattern: the
-    // corpus is partitioned by cell, a query touches nProbe cells.
+    // IVF-style ANN: kmeans coarse quantizer fit ONCE per dataset
+    // (cached — never re-fit inside the query body), k ≈ √n cells so
+    // probe-join parallelism grows with the corpus, nProbe=2 cells per
+    // query for recall. The 100 TB pattern: the corpus is partitioned by
+    // cell (√n-way), a query fans out to exactly nProbe cells.
     QueryDef(
       "y5_ivf_ann",
       (s, d) => {
@@ -158,20 +172,34 @@ object SimilarityOps {
         val e = T.embeddings(s, d)
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double")).as("features"))
-        // coarse quantizer: few iterations suffice for bucketing quality
-        val cells = Clustering.kmeansPredict(e, k = 8, seed = 42,
-            maxIter = 5)
+        val n = e.count()
+        val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+        // few iterations suffice for bucketing quality
+        val model = Clustering.kmeansModelCached(s"ivf:$d:$k", e, k = k,
+          seed = 42, maxIter = 5)
+        val cells = Clustering.predictWith(model, e)
           .withColumnRenamed("pred", "cell")
-        val w = Window.partitionBy("qid")
-          .orderBy(col("cos_sim").desc, col("nid"))
         val corpus = cells.select(col("vec_id").as("nid"),
           col("features").as("ne"), col("cell"))
-        // probe set: each query joins its own cell (nProbe=1 primary) —
-        // the kmeans cell acts as the inverted-file key
-        val queries = cells.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("features").as("qe"),
-            col("cell"))
-        queries.join(corpus, Seq("cell"))
+        // centroid routing table: k rows, broadcast — each query ranks
+        // its distance to every centroid and keeps the 2 nearest cells
+        val cdf = s.createDataFrame(
+            model.clusterCenters.toSeq.zipWithIndex
+              .map { case (c, i) => (i.toLong, c.toArray) })
+          .toDF("cell", "centroid")
+        val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+        val probes = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("features").as("qe"))
+          .crossJoin(broadcast(cdf))
+          .withColumn("d2", aggregate(
+            zip_with(col("qe"), col("centroid"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .select("qid", "qe", "cell")
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("nid"))
+        probes.join(corpus, Seq("cell"))
           .filter(col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"),
             round(fastCosine(col("qe"), col("ne")), 4).as("cos_sim"))
@@ -182,15 +210,19 @@ object SimilarityOps {
       },
       None),
 
-    // LSH-bucketed approximate neighbors: 8 hyperplane sign bits → join
+    // LSH-bucketed approximate neighbors: hyperplane sign bits → join
     // within buckets only (the 100 TB path: bucket join replaces the
-    // quadratic cross join; recall traded via nBits). Rows-only check
-    // (seeded hash hyperplanes aren't ANSI-SQL-expressible).
+    // quadratic cross join; recall traded via nBits). Bit-width scales
+    // with the corpus (scaledLshBits) so bucket occupancy — and the
+    // within-bucket quadratic verify — stays bounded at 100×. Rows-only
+    // check (seeded hash hyperplanes aren't ANSI-SQL-expressible).
     QueryDef(
       "y4_lsh_ann",
       (s, d) => {
-        val e = T.embeddings(s, d)
-          .withColumn("bucket", lshBucket(col("embedding"), 8, 64, 42L))
+        val base = T.embeddings(s, d)
+        val nBits = scaledLshBits(base.count())
+        val e = base
+          .withColumn("bucket", lshBucket(col("embedding"), nBits, 64, 42L))
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("bucket"))
         val b = e.select(col("vec_id").as("nid"), col("embedding"), col("bucket"))

@@ -107,8 +107,9 @@ object TextOps {
           round(avg("n_chars"), 4).as("avg_chars"),
           sum("n_chars").as("total_chars"))
         .orderBy("lang"),
+      // CAST: DuckDB integer SUM yields HUGEINT; Spark yields BIGINT.
       Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
-                     sum(n_chars) AS total_chars
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
     // Whitespace+regex token counting per document.
@@ -239,14 +240,18 @@ object TextOps {
     // similarity threshold — the semantic-dedup step of a training-data
     // pipeline. (Production threshold ≈0.95+; the synthetic embeddings
     // are near-orthogonal, so 0.25 here keeps the operator observable.)
+    // Bit-width scales with the corpus (SimilarityOps.scaledLshBits), so
+    // the within-bucket pair count stays O(n·target), not O(n²/2^fixed).
     // Rows-only: seeded hyperplanes.
     QueryDef(
       "x11_embed_neardup",
       (s, d) => {
         import graft.{Tables => TT}
-        val e = TT.embeddings(s, d)
+        val base = TT.embeddings(s, d)
+        val nBits = SimilarityOps.scaledLshBits(base.count())
+        val e = base
           .withColumn("bucket",
-            SimilarityOps.lshBucket(col("embedding"), 8, 64, 42L))
+            SimilarityOps.lshBucket(col("embedding"), nBits, 64, 42L))
         val a = e.select(col("vec_id").as("id_a"),
           col("embedding").as("e_a"), col("bucket"))
         val b = e.select(col("vec_id").as("id_b"),
@@ -290,6 +295,25 @@ object TextOps {
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred")
       },
-      None)
+      Some("""WITH t AS (
+                SELECT lang,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                       length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+                FROM documents),
+              v AS (
+                SELECT lang, zh,
+                       len(list_filter(toks, x -> x IN ('the','and','of','to','is','in'))) AS en,
+                       len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) AS de,
+                       len(list_filter(toks, x -> x IN ('el','los','que','y','es','una'))) AS es,
+                       len(list_filter(toks, x -> x IN ('le','les','et','est','une','dans'))) AS fr
+                FROM t)
+              SELECT lang,
+                     CASE WHEN zh > 0 THEN 'zh'
+                          WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                          WHEN de >= es AND de >= fr THEN 'de'
+                          WHEN es >= fr THEN 'es'
+                          ELSE 'fr' END AS pred,
+                     count(*) AS n
+              FROM v GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

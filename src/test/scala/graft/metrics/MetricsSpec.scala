@@ -39,6 +39,23 @@ class MetricsSpec extends SparkSpec {
       eps(ClusteringMetrics.accuracy(eight), 0.75)
       eps(ClusteringMetrics.accuracy(perfectRelabeled), 1.0 / 3.0)
     }
+    it("v-measure (M8): 1.0 on relabeled-identical; goldens incl. " +
+        "asymmetric homogeneity/completeness") {
+      eps(ClusteringMetrics.vMeasure(perfectRelabeled), 1.0)
+      eps(ClusteringMetrics.vMeasure(eight), 0.5588730382170324, 1e-9)
+      // each true class pure in its clusters, but classes split → hom=1, com=2/3
+      val asym = labelDf(Seq(0, 0, 1, 1), Seq(0, 1, 2, 2))
+      val a = ClusteringMetrics.agreement(asym)
+      eps(a.homogeneity, 1.0)
+      eps(a.completeness, 2.0 / 3.0)
+      eps(a.vMeasure, 0.8)
+    }
+    it("agreement() single-pass equals the individual metrics") {
+      val a = ClusteringMetrics.agreement(eight)
+      eps(a.nmi, 0.5588730382170326, 1e-12)
+      eps(a.ari, 0.23809523809523808, 1e-12)
+      eps(a.fowlkesMallows, 0.42857142857142855, 1e-12)
+    }
   }
 
   describe("Hungarian (M7/A7)") {

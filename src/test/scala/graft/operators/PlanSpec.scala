@@ -49,4 +49,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Join"), p)
   }
+
+  it("sp2_fold_assign is a pure per-row expression (no Window at all)") {
+    // a global-ORDER-BY row_number would funnel every row through ONE
+    // task; the hash-fold formulation must keep the plan window-free
+    val p = planOf("sp2_fold_assign")
+    assert(!p.contains("Window"), p)
+  }
+
+  it("a1_minmax_rescale broadcasts the per-group fit (no window shuffle)") {
+    // window PARTITION BY a 3-value key = whole table into <=3 partitions;
+    // the fit/broadcast-join shape must survive in the plan
+    val p = planOf("a1_minmax_rescale")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
