@@ -168,6 +168,33 @@ object RelationalOps {
               SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 1000
               ORDER BY o_orderkey, bucket""")),
 
+    // J7: bucket-layout equi-join — both sides written bucketed+sorted on
+    // the join key (etl/ScaleUtils.bucketedPair), so the join AND the
+    // follow-up aggregation on that key run with ZERO hash exchanges (the
+    // only exchange left is the presentation sort's range partitioning).
+    // This is the 100 TB shape for repeated fact⋈dim joins: pay the
+    // layout once, join shuffle-free forever after.
+    QueryDef(
+      "j7_bucketed_join",
+      (s, d) => {
+        import graft.etl.ScaleUtils
+        val o = T.orders(s, d)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = T.customer(s, d)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val (bo, bc) = ScaleUtils.bucketedPair(s, o, c, "custkey", 16,
+          "graft_j7_orders", "graft_j7_customer")
+        bo.hint("merge").join(bc, Seq("custkey"))
+          .groupBy("custkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2 ORDER BY custkey""")),
+
     // ---- §2.4 deterministic splits (SP1/SP2 via W1/W2) ------------------
     // SP1: stratified 80/20 split, exact per-class counts, seeded
     // (TCGA_Auxiliary/Data_prep.py:16-58). Window over a seeded hash order:

@@ -38,10 +38,10 @@ object SimilarityOps {
   /** LSH bit-width sized to the corpus: 2^nBits ≈ n / targetPerBucket, so
     * expected bucket occupancy stays ~constant and within-bucket verify
     * work grows O(n·target) — a FIXED bit-width degrades O(n²/2^bits) as
-    * the corpus grows 100×. Floored at `minBits` so tiny test corpora
-    * keep observable recall; capped so the bucket id fits comfortably in
-    * a long alongside multi-table offsets. */
-  def scaledLshBits(n: Long, targetPerBucket: Long = 64, minBits: Int = 8,
+    * the corpus grows 100×, while too MANY bits for a small corpus
+    * shatters buckets to singletons and kills recall. Clamped to
+    * [minBits, maxBits] (24 bits ⇒ 16M buckets ⇒ occupancy ~60 at n=1e9). */
+  def scaledLshBits(n: Long, targetPerBucket: Long = 64, minBits: Int = 4,
       maxBits: Int = 24): Int = {
     val needed = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt
@@ -62,6 +62,40 @@ object SimilarityOps {
       when(planeDot >= 0, lit(1L) * (1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Multi-table LSH ANN: each of `seeds.length` independent hash tables
+    * buckets every vector by `nBits` hyperplane sign bits; candidate
+    * pairs share a (table, bucket) key; exact cosine + per-query top-k
+    * runs over the deduped candidate union. One posexplode fan-out (L×
+    * rows, L small), one hash-shuffle on the uniform (table, bucket)
+    * key — never all-pairs. `maxQid` restricts the query side (None =
+    * every vector, the dedup/knn-graph shape). */
+  def lshTopK(emb: DataFrame, k: Int, maxQid: Option[Long] = None,
+      seeds: Seq[Long] = Seq(42L, 137L, 271L, 613L),
+      dims: Int = 64): DataFrame = {
+    val nBits = scaledLshBits(emb.count())
+    val tabs = array(
+      seeds.map(sd => lshBucket(col("embedding"), nBits, dims, sd)): _*)
+    val e = emb.select(col("vec_id"), col("embedding"), posexplode(tabs))
+      .withColumnRenamed("pos", "tab")
+      .withColumnRenamed("col", "bucket")
+    val a = maxQid.fold(e)(m => e.filter(col("vec_id") < m))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tab"), col("bucket"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding"),
+      col("tab"), col("bucket"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("nid"))
+    a.join(b, Seq("tab", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(fastCosine(col("qe"), col("embedding")), 4).as("cos_sim"))
+      .distinct() // collapse multi-table duplicates (cos is deterministic)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "nid", "cos_sim")
+      .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -212,31 +246,15 @@ object SimilarityOps {
 
     // LSH-bucketed approximate neighbors: hyperplane sign bits → join
     // within buckets only (the 100 TB path: bucket join replaces the
-    // quadratic cross join; recall traded via nBits). Bit-width scales
-    // with the corpus (scaledLshBits) so bucket occupancy — and the
-    // within-bucket quadratic verify — stays bounded at 100×. Rows-only
-    // check (seeded hash hyperplanes aren't ANSI-SQL-expressible).
+    // quadratic cross join). Bit-width scales with the corpus
+    // (scaledLshBits) so bucket occupancy — and the within-bucket
+    // quadratic verify — stays bounded at 100×; `tables` independent
+    // hash tables union their candidates for recall (candidate set is a
+    // superset of any single table's, so recall is monotone in L).
+    // Rows-only check (seeded hyperplanes aren't ANSI-SQL-expressible).
     QueryDef(
       "y4_lsh_ann",
-      (s, d) => {
-        val base = T.embeddings(s, d)
-        val nBits = scaledLshBits(base.count())
-        val e = base
-          .withColumn("bucket", lshBucket(col("embedding"), nBits, 64, 42L))
-        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("bucket"))
-        val b = e.select(col("vec_id").as("nid"), col("embedding"), col("bucket"))
-        val w = Window.partitionBy("qid")
-          .orderBy(col("cos_sim").desc, col("nid"))
-        a.join(b, Seq("bucket"))
-          .filter(col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(fastCosine(col("qe"), col("embedding")), 4).as("cos_sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select("qid", "nid", "cos_sim")
-          .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
-      },
+      (s, d) => lshTopK(T.embeddings(s, d), k = 3),
       None)
   )
 }

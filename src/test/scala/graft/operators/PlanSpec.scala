@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  it("j7_bucketed_join joins and aggregates with zero hash exchanges") {
+    // both sides bucketed+sorted on the join key: SMJ without shuffle,
+    // agg on the bucket key without shuffle; only the final presentation
+    // sort may range-partition
+    val p = planOf("j7_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   it("a1_minmax_rescale broadcasts the per-group fit (no window shuffle)") {
     // window PARTITION BY a 3-value key = whole table into <=3 partitions;
     // the fit/broadcast-join shape must survive in the plan
