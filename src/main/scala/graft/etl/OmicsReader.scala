@@ -1,8 +1,8 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Ingestion of omics feature matrices into the engine's canonical shape
   * `(sample_id: String, features: Array[Double])` + a feature-name dim
@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
 object OmicsReader {
 
   final case class OmicsMatrix(data: DataFrame, featureNames: DataFrame)
+
+  /** Appends a 0-based file-order row index. Distributed: RDD
+    * `zipWithIndex` (file-split partitions are ordered by offset, so
+    * partition order IS file order; one extra tiny job computes the
+    * per-partition offsets) — never a no-partition window, which would
+    * funnel the whole ingest through a single task at scale. */
+  private[graft] def withRowIdx(df: DataFrame, name: String): DataFrame = {
+    val schema = df.schema.add(name, IntegerType, nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i.toInt)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** Features-as-rows TSV with an R-style header (header row has one
     * column fewer than data rows; data rows lead with the feature id).
@@ -46,12 +59,8 @@ object OmicsReader {
     val sampleIds = (0 until cols.length - 1).map(headerRow.getString)
 
     val data = raw.filter(col(lastCol).isNotNull)
-    // Stable feature index in file order; ≤ ~20k feature rows at the
-    // reference scale, so the single-partition window is bounded.
-    val indexed = data
-      .withColumn("feature_idx",
-        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
-          .cast("int"))
+    // Stable feature index in file order (distributed zipWithIndex).
+    val indexed = withRowIdx(data, "feature_idx")
     val featureNames = indexed
       .select(col("feature_idx"), col(cols.head).as("feature_name"))
 
@@ -90,12 +99,9 @@ object OmicsReader {
   /** S5 — whitespace-delimited numeric matrix (np.loadtxt semantics:
     * any run of whitespace separates, no header —
     * ref: Simulation_Auxiliary/test_metrics.py:5). Row order preserved
-    * via a bounded window (matrices are feature/sample-scale). */
+    * via distributed zipWithIndex (file order). */
   def readWhitespaceMatrix(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
-      .withColumn("row_idx",
-        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
-          .cast("int"))
+    withRowIdx(spark.read.text(path), "row_idx")
       .select(col("row_idx"),
         transform(split(trim(col("value")), "\\s+"),
           s => s.cast("double")).as("values"))
@@ -105,9 +111,8 @@ object OmicsReader {
     * 67). Joined to samples by row position.
     */
   def readLabels(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").option("header", true).csv(path)
-      .withColumn("sample_idx",
-        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
-          .cast("int"))
+    withRowIdx(
+      spark.read.option("sep", "\t").option("header", true).csv(path),
+      "sample_idx")
       .withColumnRenamed("0", "label")
 }

@@ -34,7 +34,14 @@ object ScaleUtils {
   /** Writes both sides bucketed+sorted by the join key into the session
     * catalog (requires a warehouse dir), so subsequent joins on that
     * key are shuffle-free sort-merge joins. Returns the bucketed frames
-    * read back from the catalog. */
+    * read back from the catalog.
+    *
+    * Pay-once semantics: if a table of that name is already registered
+    * in this JVM's catalog it is REUSED, not rewritten — callers
+    * namespace names per dataset (j7 appends a dataset-path hash), so an
+    * existing table is always the same data/layout. The write is
+    * serialized under a lock so concurrent queries can't race the
+    * DROP/mkdir. */
   def bucketedPair(spark: SparkSession, left: DataFrame, right: DataFrame,
       key: String, buckets: Int, leftName: String, rightName: String)
       : (DataFrame, DataFrame) = {
@@ -57,8 +64,13 @@ object ScaleUtils {
         .format("parquet")
         .saveAsTable(name)
     }
-    writeBucketed(left, leftName)
-    writeBucketed(right, rightName)
+    this.synchronized {
+      if (!spark.catalog.tableExists(leftName) ||
+          !spark.catalog.tableExists(rightName)) {
+        writeBucketed(left, leftName)
+        writeBucketed(right, rightName)
+      }
+    }
     (spark.table(leftName), spark.table(rightName))
   }
 }

@@ -1,8 +1,9 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Deterministic, scalable replacements for the reference's sampling
   * operators (SURVEY §2.4):
@@ -36,10 +37,24 @@ object Splits {
   }
 
   /** Adds `fold` ∈ [0, k): global seeded shuffle, round-robin assignment
-    * (fold sizes differ by ≤ 1, matching sklearn KFold(shuffle=True)). */
+    * (fold sizes differ by ≤ 1, matching sklearn KFold(shuffle=True)).
+    *
+    * Scale shape: a distributed range-partitioned sort on the seeded
+    * hash followed by RDD `zipWithIndex` (per-partition counts + offset,
+    * one extra tiny job) — NOT a no-partition window, which would funnel
+    * every row through a single task. Output values are identical to the
+    * windowed formulation (same total order, same round-robin deal).
+    * The contract query SP2 instead uses the pure hash-fold expression
+    * (`fold = hash(key) % k`, zero shuffle, binomial fold sizes); this
+    * library path keeps sklearn's exact ≤1-size-difference guarantee for
+    * the CV pipelines. */
   def kFoldColumn(df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame = {
-    val w = Window.orderBy(seededOrder(keyCol, seed): _*)
-    df.withColumn("fold", pmod(row_number().over(w) - 1, lit(k)).cast("int"))
+    val sorted = df.orderBy(seededOrder(keyCol, seed): _*)
+    val schema = sorted.schema.add("fold", IntegerType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i % k).toInt)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Adds `fold` ∈ [0, k) stratified by label: within each class the

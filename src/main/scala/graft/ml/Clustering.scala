@@ -34,18 +34,39 @@ object Clustering {
 
   private val modelCache = TrieMap.empty[String, KMeansModel]
 
+  private[graft] def clearModelCacheForTest(): Unit = modelCache.clear()
+
   /** Fit-once quantizer: the IVF coarse index is built one time per
     * `key` (dataset + k) and reused by every subsequent query — never
-    * re-fit inside a query body. Cache is per-JVM (driver-resident
-    * model, k centroids ≪ data). */
+    * re-fit inside a query body.
+    *
+    * Durability: with `persistPath` set, the fitted model (k centroids ≪
+    * data) is saved on first fit and LOADED on a cache miss in a fresh
+    * JVM — the "fit once per dataset" guarantee survives driver
+    * restarts. Staleness: keys embed the dataset path and dataset dirs
+    * are immutable (driver-generated parquet), so entries never go
+    * stale; the cache is bounded by the number of distinct datasets ×
+    * k values seen in one JVM (a handful). `getOrElseUpdate` may fit
+    * concurrently on a first-use race — harmless duplicated work, one
+    * winner. */
   def kmeansModelCached(key: String, df: DataFrame, k: Int, seed: Long = 21,
-      featuresCol: String = "features", maxIter: Int = 50): KMeansModel =
+      featuresCol: String = "features", maxIter: Int = 50,
+      persistPath: Option[String] = None): KMeansModel =
     modelCache.getOrElseUpdate(key, {
-      val prepared = df.withColumn("__vec", array_to_vector(col(featuresCol)))
-      new KMeans()
-        .setK(k).setSeed(seed).setMaxIter(maxIter)
-        .setFeaturesCol("__vec").setPredictionCol("pred")
-        .fit(prepared)
+      def fit(): KMeansModel = {
+        val prepared = df.withColumn("__vec", array_to_vector(col(featuresCol)))
+        new KMeans()
+          .setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("__vec").setPredictionCol("pred")
+          .fit(prepared)
+      }
+      persistPath match {
+        case Some(p) if new java.io.File(p.stripPrefix("file:")).exists() =>
+          KMeansModel.load(p)
+        case Some(p) =>
+          val m = fit(); m.write.overwrite().save(p); m
+        case None => fit()
+      }
     })
 
   /** Assigns `pred` cells with an already-fit model (no re-fit). */

@@ -29,7 +29,9 @@ object Critic {
         dot += x * y; na += x * x; nb += y * y
         c += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      // eps guard matches torch nn.CosineSimilarity(eps=1e-8): a
+      // zero-norm row yields ~0, never NaN
+      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-8)
     }
   }
 

@@ -11,13 +11,28 @@ object ExtensionOps {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // Multimodal asset profile over binary columns (stub codec, real
-    // schema/batching — rows-only: hash-derived features aren't ANSI SQL).
+    // Multimodal asset profile over binary columns: per-modality counts,
+    // byte volume (length of the BINARY content), mean duration. Fully
+    // oracled — the synthetic-asset rules are arithmetic on `documents`
+    // (modality ⇔ doc_id % 3, content = UTF-8 text bytes, duration_ms =
+    // n_chars×10); the stub-codec feature path (hash-derived, not ANSI
+    // SQL) is gold-tested in ExtensionsSpec instead.
     QueryDef(
       "z1_multimodal_profile",
-      (s, d) => Multimodal.modalityProfile(
-        Multimodal.syntheticAssets(T.documents(s, d))),
-      None),
+      (s, d) => Multimodal.syntheticAssets(T.documents(s, d))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(length(col("content"))).as("total_bytes"),
+          round(avg(col("meta.duration_ms")), 4).as("avg_duration_ms"))
+        .orderBy("modality"),
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS modality,
+                     count(*) AS n_assets,
+                     CAST(sum(octet_length(encode(text))) AS BIGINT)
+                       AS total_bytes,
+                     round(avg(n_chars * 10), 4) AS avg_duration_ms
+              FROM documents GROUP BY 1 ORDER BY 1""")),
 
     // Video frame sampling fan-out (one row per sampled frame). Oracle:
     // the synthetic-asset rules are arithmetic on `documents` — video ⇔

@@ -29,12 +29,27 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** MinHash signature: k independent seeded hashes, each the min over the
-    * shingle set. xxhash64(shingle, seed_i) plays the role of the i-th
-    * permutation (standard MinHash — Broder 1997). */
-  def minhashSig(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+  private val MinhashP = 1000000007L
+
+  /** One 64-bit string hash per shingle, reduced mod a prime — computed
+    * ONCE; the k MinHash permutations are derived arithmetically from it
+    * ([[minhashSig]]), so signature cost is 1 string hash + k
+    * multiply-mods per shingle instead of k string hashes. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** MinHash signature over pre-hashed shingles: permutation i is the
+    * Carter–Wegman universal hash h_i = (a_i·h + b_i) mod p (odd a_i,
+    * prime p — a bijection of the ring, standard MinHash per Broder
+    * 1997). ANSI-safe: h < p ≈ 2³⁰ and a_i ≤ 2k−1, so a_i·h + b_i stays
+    * far below Long overflow. */
+  def minhashSig(hashCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = i.toLong * 7919 + 12345
+      array_min(transform(hashCol,
+        h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
+    }: _*)
 
   /** 64-bit SimHash from pre-hashed tokens: per-bit majority vote of
     * xxhash64 bits (Charikar 2002). Pure SQL expression over a column
@@ -58,10 +73,13 @@ object TextOps {
     * 1000-executor scale-up; no driver collection anywhere. */
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
+    // staged projections: shingle → hash once → k cheap permutations
+    // (CollapseProject keeps the non-cheap `hs` from being inlined k×)
     val sig = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("sh", shingles(col("toks")))
-      .select(col("doc_id"), minhashSig(col("sh"), k).as("sig"))
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
@@ -200,11 +218,14 @@ object TextOps {
 
     // n-gram Jaccard near-dup — LSH path with more bands (higher recall),
     // verified at a lower threshold (0.3) to surface fuzzier matches.
+    // rows-per-band = k/bands = 4: unrelated pairs collide per band with
+    // prob ≈ s⁴ (2-row bands collide at s² — a genuine candidate-set
+    // explosion at 100×; TextOpsSpec asserts sub-quadratic growth).
     QueryDef(
       "x8_ngram_jaccard",
       (s, d) => {
         val docs = T.documents(s, d)
-        jaccardVerify(minhashCandidates(docs, k = 16, bands = 8), docs, 0.3)
+        jaccardVerify(minhashCandidates(docs, k = 32, bands = 8), docs, 0.3)
           .orderBy("doc_a", "doc_b")
       },
       None),
@@ -247,11 +268,13 @@ object TextOps {
       "x11_embed_neardup",
       (s, d) => {
         import graft.{Tables => TT}
-        val base = TT.embeddings(s, d)
-        val nBits = SimilarityOps.scaledLshBits(base.count())
-        val e = base
-          .withColumn("bucket",
-            SimilarityOps.lshBucket(col("embedding"), nBits, 64, 42L))
+        val key = s"emb:$d"
+        val nBits = SimilarityOps.scaledLshBits(
+          SimilarityOps.cachedCount(key, TT.embeddings(s, d)))
+        // single-table (seed 42) slice of the persisted signature frame —
+        // shared with y4's cache, literal-plane codegen'd bucket ids
+        val e = SimilarityOps.cachedBucketedFrame(key, TT.embeddings(s, d),
+          nBits, Seq(42L), 64)
         val a = e.select(col("vec_id").as("id_a"),
           col("embedding").as("e_a"), col("bucket"))
         val b = e.select(col("vec_id").as("id_b"),

@@ -25,10 +25,9 @@ object TcgaEval {
       epochs: Int = 3, batchSize: Int = 128, lr: Double = 1e-3,
       idCol: String = "_c0"): Result = {
 
+    // distributed zipWithIndex (file order) — no no-partition window
     def withIdx(df: DataFrame): DataFrame =
-      df.withColumn("sample_idx",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())) - 1).cast("int"))
+      OmicsReader.withRowIdx(df, "sample_idx")
 
     val exp = withIdx(OmicsReader.readSamplesAsRows(spark, expPath, idCol).data)
     val mirna = withIdx(

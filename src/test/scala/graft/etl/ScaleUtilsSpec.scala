@@ -48,5 +48,27 @@ class ScaleUtilsSpec extends SparkSpec {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
       }
     }
+
+    it("reuses an existing layout instead of rewriting (pay-once)") {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      val l = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      def files(name: String): Set[String] = {
+        val d = new java.io.File(spark.conf
+          .get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+        Option(d.listFiles()).fold(Set.empty[String])(
+          _.map(f => s"${f.getName}:${f.length}").toSet)
+      }
+      ScaleUtils.bucketedPair(spark, o, l, "o_orderkey", 4,
+        "t_orders_r", "t_lineitem_r")
+      val before = files("t_orders_r") -> files("t_lineitem_r")
+      // second call must be write-free: same part files, same sizes
+      ScaleUtils.bucketedPair(spark, o, l, "o_orderkey", 4,
+        "t_orders_r", "t_lineitem_r")
+      assert(files("t_orders_r") -> files("t_lineitem_r") == before,
+        "bucketed layout was rewritten on reuse")
+    }
   }
 }

@@ -34,6 +34,41 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("LshSignBits native expression") {
+    it("matches the HOF reference bucket bit-for-bit (all y4 seeds)") {
+      import graft.operators.SimilarityOps
+      val e = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      for (seed <- Seq(42L, 137L, 271L, 613L); nBits <- Seq(4, 8, 12)) {
+        val mismatches = e.select(
+            SimilarityOps.lshBucket(col("embedding"), nBits, 64, seed)
+              .as("ref"),
+            SimilarityOps.lshBucketFast(col("embedding"), nBits, 64, seed)
+              .as("fast"))
+          .filter(col("ref") =!= col("fast")).count()
+        assert(mismatches == 0,
+          s"literal-plane bucket diverged at seed=$seed nBits=$nBits")
+      }
+    }
+
+    it("survives interpreted (non-codegen) evaluation identically") {
+      import graft.operators.SimilarityOps
+      import spark.implicits._
+      val df = Seq(Seq(0.5f, -1.0f, 2.0f, 0.0f)).toDF("v")
+      val planes = SimilarityOps.planeMatrix(6, 4, 42L)
+      val viaCol = df.select(
+        graft.functions.LshSignBits.lsh_sign_bits(col("v"), planes).as("b"))
+        .head().getLong(0)
+      // interpreted path: eval through a fresh expression on a local row
+      val expected = (0 until 6).map { b =>
+        val dot = (0 until 4).map(i =>
+          Seq(0.5, -1.0, 2.0, 0.0)(i) * planes(b)(i)).sum
+        if (dot >= 0) 1L << b else 0L
+      }.sum
+      assert(viaCol == expected)
+    }
+  }
+
   describe("Jdbc source/sink (embedded Derby)") {
     it("writes customers to Derby and reads them back partitioned") {
       val dir = java.nio.file.Files.createTempDirectory("graft-derby")

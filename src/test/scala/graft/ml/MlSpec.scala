@@ -60,6 +60,22 @@ class MlSpec extends SparkSpec {
       assert(acc == 1.0)
     }
 
+    it("IVF quantizer survives a cache drop via persisted centroids (no re-fit)") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+        .resolve("model").toString
+      val m1 = Clustering.kmeansModelCached("test-ivf-persist", blobs,
+        k = 3, seed = 7, maxIter = 5, persistPath = Some(dir))
+      Clustering.clearModelCacheForTest()
+      // a re-fit on this 1-row frame could not reproduce m1; the load
+      // path must win (uid is preserved by ML persistence, a fresh fit
+      // would mint a new one)
+      val m2 = Clustering.kmeansModelCached("test-ivf-persist",
+        blobs.limit(1), k = 3, seed = 7, maxIter = 5,
+        persistPath = Some(dir))
+      assert(m2.uid == m1.uid, "quantizer was re-fit instead of loaded")
+      assert(m2.clusterCenters.toSeq == m1.clusterCenters.toSeq)
+    }
+
     it("pca projects to d dims and is deterministic") {
       val p = Clustering.pca(blobs, 2)
       val arr = p.select("pca").collect().map(_.getSeq[Double](0))

@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables => T}
+
+/** Scale-shape evidence for the MinHash+LSH dedup path: the banded
+  * candidate set must grow sub-quadratically in the corpus size —
+  * 2-row bands (k=16, bands=8) collide for unrelated pairs at ≈ s² per
+  * band and blow up ~O(n²) at 100×; the 4-row bands used by x8 (k=32,
+  * bands=8) collide at ≈ s⁴ and stay near-linear.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  it("x8 banding (rows=4) candidate set grows sub-quadratically") {
+    def cands(sf: String): (Long, Long) = {
+      val docs = T.documents(spark, s"/root/testdata/$sf")
+      (docs.count(),
+        TextOps.minhashCandidates(docs, k = 32, bands = 8).count())
+    }
+    val (n1, c1) = cands("sf0.01")
+    val (n2, c2) = cands("sf0.1")
+    info(s"banded candidates: n=$n1 -> $c1 pairs, n=$n2 -> $c2 pairs " +
+      f"(growth ${c2.toDouble / math.max(c1, 1)}%.1fx vs quadratic " +
+      f"${math.pow(n2.toDouble / n1, 2)}%.0fx)")
+    val growth = c2.toDouble / math.max(c1, 1)
+    val quadratic = math.pow(n2.toDouble / n1, 2)
+    assert(growth < quadratic / 2,
+      f"candidate growth $growth%.1fx is not sub-quadratic ($quadratic%.0fx)")
+  }
+}
