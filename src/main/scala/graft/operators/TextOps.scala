@@ -296,24 +296,32 @@ object TextOps {
     QueryDef(
       "x10_langid",
       (s, d) => {
-        // tokenize ONCE into a materialized column — each score filter
-        // then scans the array instead of re-splitting the text
+        // staged projections: tokenize once → score each profile once →
+        // vote over plain attributes. Each stage's aliases are non-cheap
+        // and multiply-referenced downstream, so CollapseProject keeps
+        // the boundaries — without them the `when`-chain re-inlines
+        // every filter (and the tokenizer under it) per comparison.
         val toks = col("__toks")
         def score(words: String*) =
           size(Fn.filter(toks, t => t.isin(words: _*)))
-        val en = score("the", "and", "of", "to", "is", "in")
-        val de = score("der", "die", "und", "das", "ist", "nicht")
-        val es = score("el", "los", "que", "y", "es", "una")
-        val fr = score("le", "les", "et", "est", "une", "dans")
-        val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
-        val pred = when(zh > 0, "zh")
-          .when(en >= de && en >= es && en >= fr, "en")
-          .when(de >= es && de >= fr, "de")
-          .when(es >= fr, "es")
+        val pred = when(col("zh"), "zh")
+          .when(col("en") >= col("de") && col("en") >= col("es") &&
+            col("en") >= col("fr"), "en")
+          .when(col("de") >= col("es") && col("de") >= col("fr"), "de")
+          .when(col("es") >= col("fr"), "es")
           .otherwise("fr")
         T.documents(s, d)
-          .withColumn("__toks", tokens(lower(col("text"))))
-          .withColumn("pred", pred)
+          .select(col("lang"), col("text"),
+            tokens(lower(col("text"))).as("__toks"))
+          .select(col("lang"),
+            score("the", "and", "of", "to", "is", "in").as("en"),
+            score("der", "die", "und", "das", "ist", "nicht").as("de"),
+            score("el", "los", "que", "y", "es", "una").as("es"),
+            score("le", "les", "et", "est", "une", "dans").as("fr"),
+            // rlike short-circuits on first CJK char — no rewritten
+            // string like regexp_replace builds
+            col("text").rlike("[\\u4e00-\\u9fff]").as("zh"))
+          .select(col("lang"), pred.as("pred"))
           .groupBy("lang", "pred")
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred")

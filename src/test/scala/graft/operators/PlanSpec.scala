@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  it("y4_lsh_ann hyperplanes are plan-time constants (no per-row hash chains)") {
+    // the bucket ids must come from the literal-plane LshSignBits
+    // expression — a per-row xxhash64 hyperplane derivation in the plan
+    // is the 12x regression this guards against
+    val p = planOf("y4_lsh_ann")
+    assert(!p.toLowerCase.contains("xxhash64"), p)
+  }
+
   it("a1_minmax_rescale broadcasts the per-group fit (no window shuffle)") {
     // window PARTITION BY a 3-value key = whole table into <=3 partitions;
     // the fit/broadcast-join shape must survive in the plan
