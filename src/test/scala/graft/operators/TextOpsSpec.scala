@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkSpec, Tables => T}
+import graft.operators.SimilarityOps
 
 /** Scale-shape evidence for the MinHash+LSH dedup path: the banded
   * candidate set must grow sub-quadratically in the corpus size —
@@ -9,6 +10,16 @@ import graft.{SparkSpec, Tables => T}
   * bands=8) collide at ≈ s⁴ and stay near-linear.
   */
 class TextOpsSpec extends SparkSpec {
+
+  it("the banded signature frame is built once per dataset key") {
+    val e = T.embeddings(spark, "/root/testdata/sf0.001")
+    val f1 = SimilarityOps.cachedBucketedFrame("spec-frame", e, 4, Seq(42L), 64)
+    val f2 = SimilarityOps.cachedBucketedFrame("spec-frame",
+      e.limit(1), 4, Seq(42L), 64) // a rebuild would use this frame
+    assert(f1 eq f2, "signature frame was rebuilt for the same key")
+    assert(f1.storageLevel.useDisk || f1.storageLevel.useMemory,
+      "signature frame is not persisted")
+  }
 
   it("x8 banding (rows=4) candidate set grows sub-quadratically") {
     def cands(sf: String): (Long, Long) = {
