@@ -230,6 +230,38 @@ object TextOps {
       },
       None),
 
+    // SimHash near-dup join (Manku/Charikar): 64-bit fingerprints split
+    // into 4×16-bit bands — by pigeonhole, any pair within hamming
+    // distance 3 shares ≥1 exact band, so the bucket join finds ALL such
+    // pairs without an all-pairs compare; bit_count(xor) verifies. The
+    // banded plan is exhaustive at radius ≤ 3 (brute-force-parity
+    // spec-checked). Rows-only: xxhash64 fingerprints.
+    QueryDef(
+      "x13_simhash_neardup",
+      (s, d) => {
+        val fp = T.documents(s, d)
+          .select(col("doc_id"),
+            transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
+          .select(col("doc_id"), expr(simhashSqlOverHs).as("simhash"))
+        val banded = fp.select(col("doc_id"), col("simhash"),
+            posexplode(array((0 until 4).map(b =>
+              shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "band_val")
+        val a = banded.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sh_a"), col("band"), col("band_val"))
+        val b = banded.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sh_b"), col("band"), col("band_val"))
+        a.join(b, Seq("band", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
     // Document fingerprint: rolling polynomial hash over tokens
     // (Rabin-Karp-style), kept in [0, 1e9+7) so ANSI overflow can't fire.
     QueryDef(

@@ -21,6 +21,29 @@ class TextOpsSpec extends SparkSpec {
       "signature frame is not persisted")
   }
 
+  it("x13 simhash banding finds EXACTLY the brute-force hamming<=3 pairs") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val banded = graft.SparkEntry.queries("x13_simhash_neardup")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val fp = T.documents(spark, sf)
+      .select(col("doc_id"),
+        transform(split(trim(col("text")), "\\s+"),
+          t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), expr(TextOps.simhashSqlOverHs).as("simhash"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val brute = a.crossJoin(
+        fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(sh_a ^ sh_b)") <= 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}: pigeonhole violated")
+    assert(brute.nonEmpty, "corpus has no near-dup pairs to find")
+  }
+
   it("x8 banding (rows=4) candidate set grows sub-quadratically") {
     def cands(sf: String): (Long, Long) = {
       val docs = T.documents(spark, s"/root/testdata/$sf")
