@@ -69,6 +69,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("SimHash64 native expression") {
+    it("matches the SQL HOF reference fingerprint bit-for-bit") {
+      import graft.operators.TextOps
+      val hs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          transform(split(trim(col("text")), "\\s+"),
+            t => xxhash64(t)).as("hs"))
+      val mismatches = hs.select(
+          expr(TextOps.simhashSqlOverHs).as("ref"),
+          SimHash64.simhash64(col("hs")).as("fast"))
+        .filter(col("ref") =!= col("fast")).count()
+      assert(mismatches == 0)
+    }
+  }
+
   describe("Jdbc source/sink (embedded Derby)") {
     it("writes customers to Derby and reads them back partitioned") {
       val dir = java.nio.file.Files.createTempDirectory("graft-derby")
