@@ -74,6 +74,14 @@ object SimilarityOps {
     bits.reduce(_ + _)
   }
 
+  /** Eight independent hash tables (first four = the original round-3
+    * seeds, so recall is a strict superset of the gated 4-table floor).
+    * Eight is ~free since the hyperplanes became plan-time literals —
+    * measured recall on the near-orthogonal sf0.001 corpus: 0.438 (L=4)
+    * → 0.695 (L=8) at the same sf0.1 wall-clock (~2.6 s). */
+  val defaultSeeds: Seq[Long] =
+    Seq(42L, 137L, 271L, 613L, 997L, 1499L, 2221L, 3163L)
+
   private val planeCache = TrieMap.empty[(Int, Int, Long), Seq[Seq[Double]]]
 
   /** Driver-side hyperplane matrix, bit-identical to the components the
@@ -138,7 +146,7 @@ object SimilarityOps {
     * key — never all-pairs. `maxQid` restricts the query side (None =
     * every vector, the dedup/knn-graph shape). */
   def lshTopK(emb: DataFrame, k: Int, maxQid: Option[Long] = None,
-      seeds: Seq[Long] = Seq(42L, 137L, 271L, 613L),
+      seeds: Seq[Long] = SimilarityOps.defaultSeeds,
       dims: Int = 64, cacheKey: Option[String] = None): DataFrame = {
     val n = cacheKey.fold(emb.count())(kk => cachedCount(kk, emb))
     val nBits = scaledLshBits(n)
