@@ -74,13 +74,15 @@ object SimilarityOps {
     bits.reduce(_ + _)
   }
 
-  /** Eight independent hash tables (first four = the original round-3
-    * seeds, so recall is a strict superset of the gated 4-table floor).
-    * Eight is ~free since the hyperplanes became plan-time literals —
-    * measured recall on the near-orthogonal sf0.001 corpus: 0.438 (L=4)
-    * → 0.695 (L=8) at the same sf0.1 wall-clock (~2.6 s). */
+  /** Six independent hash tables (first four = the original round-3
+    * seeds, so the candidate set is a strict superset of the gated
+    * 4-table configuration). Extra tables are cheap since the
+    * hyperplanes became plan-time literals — measured recall on the
+    * near-orthogonal sf0.001 corpus: 0.438 (L=4) → 0.573 (L=6) → 0.695
+    * (L=8); L=6 keeps the sf0.1 query at ~3 s, L=8 costs ~0.8 s more —
+    * the recall/latency dial is just this list. */
   val defaultSeeds: Seq[Long] =
-    Seq(42L, 137L, 271L, 613L, 997L, 1499L, 2221L, 3163L)
+    Seq(42L, 137L, 271L, 613L, 997L, 1499L)
 
   private val planeCache = TrieMap.empty[(Int, Int, Long), Seq[Seq[Double]]]
 

@@ -48,9 +48,10 @@ class AnnRecallSpec extends SparkSpec {
     // candidate union is a superset of any single table's → monotone
     assert(rMulti >= rSingle,
       f"multi-table recall $rMulti%.3f < single-table $rSingle%.3f")
-    // measured 0.695 at L=8 (0.438 at the round-3 L=4; 0.131 single —
-    // deterministic seeds, first four unchanged so this is a superset)
-    assert(rMulti >= 0.55,
+    // measured 0.573 at L=6 (0.438 at the round-3 L=4, 0.695 at L=8;
+    // 0.131 single — deterministic seeds, first four unchanged so the
+    // candidate set is a superset of the gated round-3 configuration)
+    assert(rMulti >= 0.50,
       f"multi-table recall $rMulti%.3f below floor on near-orthogonal data")
     exact.unpersist()
   }
