@@ -82,14 +82,33 @@ object TextOps {
     * explode (band_idx, band_hash) keys, self-join within buckets. The
     * shuffle key distributes uniformly (hash values), so this survives a
     * 1000-executor scale-up; no driver collection anywhere. */
-  def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  /** `(doc_id, hs)` — hashed shingles, the k-independent part of every
+    * MinHash configuration. */
+  def hashedShingles(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("toks"))
+    .withColumn("sh", shingles(col("toks")))
+    .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+
+  private val shingleCache = TrieMap.empty[String, DataFrame]
+
+  /** Per-dataset persisted [[hashedShingles]] frame: x6 (k=16) and x8
+    * (k=32) both derive their signatures from it — tokenize + shingle +
+    * hash runs once per dataset, k-permutations stay per-query. */
+  def cachedHashedShingles(spark: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate(d, {
+      hashedShingles(T.documents(spark, d))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidatesFrom(hashedShingles(docs), k, bands)
+
+  /** LSH banding over a pre-hashed shingle frame `(doc_id, hs)`. */
+  def minhashCandidatesFrom(hashed: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    // staged projections: shingle → hash once → k cheap permutations
+    // staged projections: hash once → k cheap permutations
     // (CollapseProject keeps the non-cheap `hs` from being inlined k×)
-    val sig = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("sh", shingles(col("toks")))
-      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+    val sig = hashed
       .select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -234,7 +253,9 @@ object TextOps {
       "x6_minhash_dedup",
       (s, d) => {
         val docs = T.documents(s, d)
-        jaccardVerify(minhashCandidates(docs), docs, 0.5)
+        jaccardVerify(
+            minhashCandidatesFrom(cachedHashedShingles(s, d), k = 16, bands = 4),
+            docs, 0.5)
           .orderBy("doc_a", "doc_b")
       },
       None),
@@ -261,7 +282,9 @@ object TextOps {
       "x8_ngram_jaccard",
       (s, d) => {
         val docs = T.documents(s, d)
-        jaccardVerify(minhashCandidates(docs, k = 32, bands = 8), docs, 0.3)
+        jaccardVerify(
+            minhashCandidatesFrom(cachedHashedShingles(s, d), k = 32, bands = 8),
+            docs, 0.3)
           .orderBy("doc_a", "doc_b")
       },
       None),
