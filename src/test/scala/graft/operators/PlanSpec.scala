@@ -74,6 +74,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("xxhash64"), p)
   }
 
+  it("x13_simhash_neardup reads the persisted fingerprint frame (no re-tokenize)") {
+    // both join sides must come from the cached banded frame — a raw
+    // split() above the cache means the fingerprint chain is being
+    // re-evaluated per side (the measured 17s failure mode)
+    val p = planOf("x13_simhash_neardup")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"), p)
+  }
+
   it("a1_minmax_rescale broadcasts the per-group fit (no window shuffle)") {
     // window PARTITION BY a 3-value key = whole table into <=3 partitions;
     // the fit/broadcast-join shape must survive in the plan
