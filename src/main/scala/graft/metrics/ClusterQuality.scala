@@ -53,10 +53,14 @@ object ClusterQuality {
     * Pairwise finish on the driver (k small). */
   def daviesBouldin(df: DataFrame, featuresCol: String = "features",
       predCol: String = "pred"): Double = {
+    // cents feeds two consumers (the per-row distance join and the
+    // final collect) — cache the k-row frame so the long-form centroid
+    // aggregation runs once, not twice
     val cents = centroidCells(df, featuresCol, predCol)
       .groupBy(predCol)
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c")).as("centroid"))
+      .cache()
     val s = df
       .join(cents, predCol)
       .select(col(predCol),
@@ -65,6 +69,7 @@ object ClusterQuality {
       .join(cents, predCol)
       .collect()
       .map(r => (r.getDouble(1), r.getSeq[Double](2).toArray))
+    cents.unpersist()
     val kk = s.length
     val ratios = for (i <- 0 until kk) yield {
       (for (j <- 0 until kk if j != i) yield {
