@@ -78,6 +78,36 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup-at-ingest: drop duplicate (user_id, event_type, ts)
+    * arrivals inside the watermark horizon — the training-data-pipeline
+    * pattern of deduplicating documents as they stream in, with state
+    * bounded by the watermark instead of growing forever
+    * (dropDuplicatesWithinWatermark: two rows of the same key admitted
+    * only if they are further apart than the delay threshold). */
+  def dedupStream(spark: SparkSession, sfDir: String,
+      keys: Seq[String] = Seq("user_id", "event_type", "ts")): DataFrame = {
+    nanosConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keys)
+  }
+
+  /** Run the streaming dedup to completion (AvailableNow) into an
+    * in-memory table; returns the deduplicated rows. */
+  def runDedupOnce(spark: SparkSession, sfDir: String,
+      queryName: String = "event_dedup"): DataFrame = {
+    val q = dedupStream(spark, sfDir).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run the windowed-count stream to completion (AvailableNow) into an
     * in-memory table; returns the materialized result. */
   def runWindowedOnce(spark: SparkSession, sfDir: String,

@@ -63,6 +63,17 @@ class ExtensionsSpec extends SparkSpec {
       assert(batch.except(streamed).count() == 0)
     }
 
+    it("streaming dedup-at-ingest equals batch distinct on the key") {
+      val deduped = EventStream.runDedupOnce(spark, sf, "t_dedup")
+        .select("user_id", "event_type", "ts")
+      val batch = EventStream.readEvents(spark, sf)
+        .select("user_id", "event_type", "ts").distinct()
+      // within one AvailableNow pass every duplicate falls inside the
+      // watermark horizon, so streaming dedup == batch distinct
+      assert(deduped.count() == batch.count())
+      assert(deduped.except(batch).count() == 0)
+    }
+
     it("sessionizes per-user events with custom state") {
       import spark.implicits._
       val evs = EventStream.readEvents(spark, sf)
