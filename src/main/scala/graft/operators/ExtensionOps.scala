@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
 import graft.multimodal.Multimodal
@@ -59,6 +60,137 @@ object ExtensionOps {
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
                      count(*) AS n, round(sum(value), 4) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Gap-based sessionization: a new session starts after >6 h of
+    // user inactivity (median intra-user gap in this corpus is ~7.3 h).
+    // Scale shape: every window is PARTITIONED BY user_id — one hash
+    // shuffle on the natural key, no global ordering anywhere; the
+    // per-user session roll-up then reuses the same partitioning.
+    // All gap arithmetic is exact integer micros (see readEvents).
+    QueryDef(
+      "z5_sessionize",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val gapUs = 6L * 3600 * 1000000
+        val sess = e
+          .withColumn("new_s",
+            when(lag("us", 1).over(w).isNull ||
+              col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("sid", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n").as("n_events"),
+            max("n").as("max_session_events"),
+            round(avg("n"), 4).as("avg_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+                       epoch_ns(ts) // 1000 AS us FROM events),
+              o AS (SELECT user_id, us, event_id,
+                      CASE WHEN lag(us) OVER
+                             (PARTITION BY user_id ORDER BY us, event_id)
+                             IS NULL
+                        OR us - lag(us) OVER
+                             (PARTITION BY user_id ORDER BY us, event_id)
+                           > 21600000000 THEN 1 ELSE 0 END AS new_s
+                    FROM e),
+              sess AS (SELECT user_id,
+                         sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS sid
+                       FROM o),
+              g AS (SELECT user_id, sid, count(*) AS n
+                    FROM sess GROUP BY 1, 2)
+              SELECT user_id, count(*) AS n_sessions,
+                     CAST(sum(n) AS BIGINT) AS n_events,
+                     max(n) AS max_session_events,
+                     round(avg(n), 4) AS avg_session_events
+              FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // As-of join: each purchase is matched to the user's most recent
+    // click at-or-before it (the canonical temporal-attribution join).
+    // Spark lacks ASOF JOIN, so it is composed scalably: union the two
+    // event streams, one partitioned window per user carrying
+    // last(click, ignoreNulls) forward — O(n log n) per user, never the
+    // O(n·m) inequality join. (user_id, ts) is unique in the corpus so
+    // the matched click is deterministic. Oracle uses DuckDB's native
+    // ASOF JOIN on the identical micros normalization.
+    QueryDef(
+      "z6_asof_join",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"),
+            when(col("event_type") === "click", col("event_id")).as("c_id"),
+            when(col("event_type") === "click", unix_micros(col("ts")))
+              .as("c_us"))
+        // clicks sort before purchases at equal instants (ASOF allows
+        // equality), then event_id for a total order
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"),
+            (col("event_type") === "click").cast("int").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("prev_click_id",
+            last("c_id", ignoreNulls = true).over(w))
+          .withColumn("prev_click_us",
+            last("c_us", ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("prev_click_id").isNotNull)
+          .select(col("event_id"), col("prev_click_id"),
+            expr("(us - prev_click_us) div 1000000").as("gap_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                       epoch_ns(ts) // 1000 AS us FROM events)
+              SELECT p.event_id, c.event_id AS prev_click_id,
+                     (p.us - c.us) // 1000000 AS gap_sec
+              FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+              ASOF JOIN (SELECT * FROM e WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.us >= c.us
+              ORDER BY p.event_id""")),
+
+    // Range (interval) join: views by the same user in the 6 h before
+    // each error. Scale shape: instead of the unbounded inequality join
+    // (O(n·m) per user), each error explodes into exactly TWO coarse
+    // 6 h time buckets and joins views on (user, bucket) equality —
+    // bounded fan-out, ordinary hash join, exact range re-check after.
+    // A view's single bucket matches at most one candidate, so no dedup.
+    QueryDef(
+      "z7_range_join",
+      (s, d) => {
+        val winUs = 6L * 3600 * 1000000
+        val e = EventStream.readEvents(s, d)
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("bkt", explode(array(
+            expr(s"us div $winUs"), expr(s"us div $winUs - 1"))))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+            unix_micros(col("ts")).as("v_us"))
+          .withColumn("v_bkt", expr(s"v_us div $winUs"))
+        errors.join(views,
+            col("user_id") === col("v_user") && col("bkt") === col("v_bkt") &&
+              col("v_us") <= col("us") && col("v_us") > col("us") - winUs,
+            "left")
+          .groupBy("event_id").agg(count(col("v_id")).as("n_views"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                       epoch_ns(ts) // 1000 AS us FROM events)
+              SELECT er.event_id, count(v.event_id) AS n_views
+              FROM (SELECT * FROM e WHERE event_type = 'error') er
+              LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+                ON er.user_id = v.user_id AND v.us <= er.us
+                   AND v.us > er.us - 21600000000
+              GROUP BY 1 ORDER BY 1""")),
 
     // True Structured Streaming execution (AvailableNow → memory sink),
     // result must equal the batch rollup; rows-only by nature.

@@ -162,8 +162,12 @@ object MetricOps {
                          GROUP BY 1)
               SELECT round(avg(r), 6) AS dbi FROM r""")),
 
-    // M9 — silhouette (cosine) over embeddings by label; Spark ML's
-    // O(n) implementation, no SQL equivalent → rows-only.
+    // M9 — silhouette (cosine) over embeddings by label. Spark side is
+    // Spark ML's O(n) algebraic implementation (normalized cluster-sum
+    // vectors); the oracle is the O(n²) brute-force definition — the two
+    // are mathematically identical (a point's cosine distance to itself
+    // is 0, so the cluster-sum trick reproduces the exclude-self mean
+    // exactly), and agree to 6 decimals at the verify SF.
     QueryDef(
       "m9_silhouette",
       (s, d) => {
@@ -173,6 +177,21 @@ object MetricOps {
         val sil = ClusterQuality.silhouette(df, distance = "cosine")
         s.range(1).select(round(lit(sil), 6).as("silhouette"))
       },
-      None)
+      Some("""WITH e AS (SELECT vec_id, label,
+                       [CAST(x AS DOUBLE) for x in embedding] AS v
+                     FROM embeddings),
+              pair AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+                         1 - list_cosine_similarity(a.v, b.v) AS d
+                       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+              ab AS (SELECT i, li, lj, avg(d) AS md
+                     FROM pair GROUP BY 1, 2, 3),
+              s AS (SELECT i,
+                      max(CASE WHEN li = lj THEN md END) AS a,
+                      min(CASE WHEN li <> lj THEN md END) AS b
+                    FROM ab GROUP BY i)
+              SELECT round(avg(CASE WHEN a IS NULL THEN 0
+                                    ELSE (b - a) / greatest(a, b) END), 6)
+                       AS silhouette
+              FROM s"""))
   )
 }

@@ -318,17 +318,79 @@ object TextOps {
       },
       None),
 
-    // Document fingerprint: rolling polynomial hash over tokens
-    // (Rabin-Karp-style), kept in [0, 1e9+7) so ANSI overflow can't fire.
+    // Document fingerprint: Rabin-Karp rolling polynomial hash over the
+    // raw characters, fp = fold(acc·257 + codepoint) mod 1e9+7 — kept in
+    // [0, 1e9+7) so ANSI overflow can't fire (max acc·257+c ≈ 2.6e11).
+    // Pure arithmetic on codepoints, so it is engine-portable and fully
+    // DuckDB-oracled (list_reduce over the same char fold) — unlike the
+    // earlier xxhash64-per-token variant. One codegen'd pass per char;
+    // split-on-empty emits a trailing "" (Java split limit −1) which the
+    // filter drops.
     QueryDef(
       "x9_fingerprint",
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
-          aggregate(tokens(col("text")), lit(0L),
-            (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)),
-              lit(1000000007L))).as("fingerprint"))
+          aggregate(
+            transform(Fn.filter(split(col("text"), ""), c => c =!= ""),
+              c => ascii(c).cast("long")),
+            lit(0L),
+            (acc, c) => pmod(acc * lit(257L) + c, lit(1000000007L)))
+            .as("fingerprint"))
         .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       [CAST(unicode(c) AS BIGINT)
+                        for c in string_split(text, '')]),
+                       (acc, c) -> (acc * 257 + c) % 1000000007)
+                       AS fingerprint
+              FROM documents ORDER BY doc_id""")),
+
+    // Gopher/C4-style repetition signal: type-token ratio per document.
+    // rep_ratio = 1 − distinct/total tokens; high values flag the
+    // boilerplate/spam documents a pretraining pipeline drops. One
+    // codegen'd pass, no shuffle except the final presentation sort.
+    QueryDef(
+      "x14_repetition",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"),
+            6))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+                     round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6)
+                       AS rep_ratio
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS t
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // Corpus-level top-k bigram counts (the n-gram frequency table that
+    // feeds repetition filters and contamination checks). Scale shape:
+    // explode → partial-agg count → TakeOrderedAndProject — the top-k
+    // never materializes a global sort. Reuses shingles(n=2), whose
+    // short-doc fallback (whole text) the oracle mirrors exactly.
+    QueryDef(
+      "x15_top_bigrams",
+      (s, d) => T.documents(s, d)
+        .select(explode(shingles(tokens(col("text")), n = 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20),
+      Some("""WITH toks AS (SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+              bg AS (SELECT unnest(CASE WHEN len(t) < 2
+                               THEN [array_to_string(t, ' ')]
+                               ELSE list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1]) END)
+                             AS bigram
+                     FROM toks)
+              SELECT bigram, count(*) AS n FROM bg
+              GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""")),
 
     // BPE-ish token counting: word / number / punctuation pieces via a
     // lookahead-free pattern (portable across Java regex and RE2) —

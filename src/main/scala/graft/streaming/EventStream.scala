@@ -18,14 +18,18 @@ object EventStream {
 
   /** The events parquet stores TIMESTAMP(NANOS) which Spark's reader
     * rejects by default — read nanos as long and convert to a proper
-    * timestamp column (micros truncation is exact for this data). */
+    * timestamp column. Truncation nanos→micros must be integer `div`:
+    * the raw values carry true sub-microsecond jitter and a double
+    * division at ~1.7e18 has a 256 ns ulp, so `(ts / 1000).cast(long)`
+    * can land ±1 µs off exact floor. DuckDB oracles mirror this with
+    * `epoch_ns(ts) // 1000`. */
   private def nanosConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType.typeName match {
       case "long" => df.withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")))
+        timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
 

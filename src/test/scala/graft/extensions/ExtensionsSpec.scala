@@ -85,4 +85,67 @@ class ExtensionsSpec extends SparkSpec {
       assert(sessions.forall(_.n_events > 0))
     }
   }
+
+  describe("Temporal joins over events (z5/z6/z7)") {
+    // raw (user, micros, type, id) tuples for brute-force references
+    lazy val raw: Array[(Long, Long, String, Long)] =
+      EventStream.readEvents(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+          col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    it("z5_sessionize matches a brute-force per-user gap scan") {
+      val gapUs = 6L * 3600 * 1000000
+      val expected = raw.groupBy(_._1).map { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gapUs) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }
+        u -> (sessions.length.toLong, sessions.map(_.length).max.toLong)
+      }
+      val got = graft.SparkEntry.queries("z5_sessionize")(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+        .toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (u, (nSess, maxLen)) =>
+        assert(got(u)._1 == nSess, s"user $u sessions")
+        assert(got(u)._2 == maxLen, s"user $u max session length")
+      }
+    }
+
+    it("z6_asof_join matches a brute-force most-recent-prior-click scan") {
+      val clicks = raw.filter(_._3 == "click")
+        .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._4)).sortBy(_._1))
+        .toMap
+      val expected = raw.filter(_._3 == "purchase").flatMap { p =>
+        clicks.getOrElse(p._1, Array.empty[(Long, Long)])
+          .filter(_._1 <= p._2)
+          .sortBy(_._1).lastOption
+          .map(c => p._4 -> (c._2, (p._2 - c._1) / 1000000))
+      }.toMap
+      val got = graft.SparkEntry.queries("z6_asof_join")(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == expected)
+    }
+
+    it("z7_range_join matches a brute-force windowed count") {
+      val winUs = 6L * 3600 * 1000000
+      val views = raw.filter(_._3 == "view").groupBy(_._1)
+      val expected = raw.filter(_._3 == "error").map { e =>
+        val n = views.getOrElse(e._1, Array.empty[(Long, Long, String, Long)])
+          .count(v => v._2 <= e._2 && v._2 > e._2 - winUs)
+        e._4 -> n.toLong
+      }.toMap
+      val got = graft.SparkEntry.queries("z7_range_join")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      // the window must actually be exercised somewhere in the corpus
+      assert(got.values.sum > 0, "range window matched nothing")
+    }
+  }
 }

@@ -89,4 +89,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  it("z5_sessionize windows are partitioned by user (never global)") {
+    // every Window node must carry the user_id partitioning — a global
+    // ORDER BY window would funnel 100 TB of events through one task
+    val p = planOf("z5_sessionize")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [") ||
+      p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("user_id")), p)
+  }
+
+  it("z6_asof_join is window-composed, not an inequality join") {
+    // the as-of match must come from the per-user running window —
+    // any nested-loop/cartesian materialization is the O(n*m) shape
+    val p = planOf("z6_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  it("z7_range_join hash-joins on (user, bucket) equality keys") {
+    // the range predicate must ride on an equality join via the coarse
+    // time buckets — a pure-inequality join degenerates to nested loops
+    val p = planOf("z7_range_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  it("x15_top_bigrams takes top-k without a global sort") {
+    val p = planOf("x15_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }

@@ -60,4 +60,43 @@ class TextOpsSpec extends SparkSpec {
     assert(growth < quadratic / 2,
       f"candidate growth $growth%.1fx is not sub-quadratic ($quadratic%.0fx)")
   }
+
+  it("x9 fingerprint equals the hand-computed char fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the same expression the x9 query builds, over controlled input
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 257 + c.toLong) % 1000000007L)
+    val expr9 = aggregate(
+      transform(filter(split(col("text"), ""), c => c =!= ""),
+        c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(257L) + c, lit(1000000007L)))
+    val rows = df.select(col("doc_id"), expr9.as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> fold("abc"), 2L -> fold(""), 3L -> fold("a b")))
+  }
+
+  it("x14 repetition ratio is 1 - distinct/total and stays in [0,1)") {
+    val rows = graft.SparkEntry.queries("x14_repetition")(
+        spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd <= n && nd > 0)
+      assert(math.abs(ratio - (1.0 - nd.toDouble / n)) < 1e-6)
+      assert(ratio >= 0 && ratio < 1)
+    }
+  }
+
+  it("x15 top bigrams are count-descending and exercised") {
+    val rows = graft.SparkEntry.queries("x15_top_bigrams")(
+        spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.head > 1, "top bigram should repeat in the corpus")
+    rows.foreach(r => assert(r.getString(0).split(" ").length == 2))
+  }
 }
