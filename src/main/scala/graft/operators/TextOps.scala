@@ -34,12 +34,103 @@ object TextOps {
 
   private val MinhashP = 1000000007L
 
+  /** DuckDB mirror of [[graft.functions.PolyHash64]] over token
+    * expression `tok`: unsigned HUGEINT modular fold over codepoints
+    * plus the trailing diffusion multiply, value in [0, 2⁶⁴). Wrap with
+    * [[sqlToSigned]] for the signed-BIGINT view the native expression
+    * returns. Bit-exact parity is locked by FunctionsSpec (Scala↔SQL)
+    * and check_oracle (Spark↔DuckDB). */
+  private def polySqlUnsigned(tok: String): String =
+    s"""(list_reduce(list_prepend(
+       |       CAST(6364136223846793005 AS HUGEINT),
+       |       [CAST(unicode(c) AS HUGEINT)
+       |        for c in string_split($tok, '') if c <> '']),
+       |       (acc, c) -> (acc * 6364136223846793005 + c)
+       |                   % 18446744073709551616)
+       |     * 6364136223846793005) % 18446744073709551616""".stripMargin
+
+  /** Two's-complement reinterpretation of a [0, 2⁶⁴) HUGEINT as BIGINT. */
+  private def sqlToSigned(v: String): String =
+    s"""CAST(CASE WHEN $v >= 9223372036854775808
+       |     THEN $v - 18446744073709551616 ELSE $v END AS BIGINT)""".stripMargin
+
+  /** Shared oracle CTE prefix: tokens, word-3-gram shingles (with the
+    * whole-text short-doc fallback shingles() uses), mod-p shingle
+    * hashes — the DuckDB image of [[hashedShingles]]. */
+  private def minhashOracle(k: Int, bands: Int, threshold: Double): String = {
+    val rows = k / bands
+    s"""WITH toks AS (SELECT doc_id,
+       |         string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+       |           THEN [array_to_string(t, ' ')]
+       |           ELSE list_transform(range(1, len(t) - 1),
+       |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END
+       |           AS s
+       |       FROM toks),
+       |hs AS (SELECT doc_id, list_transform(
+       |           list_transform(s, x -> ${polySqlUnsigned("x")}),
+       |           u -> ((${sqlToSigned("u")} % 1000000007) + 1000000007)
+       |                % 1000000007) AS h
+       |       FROM sh),
+       |sig AS (SELECT doc_id, list_transform(range(0, $k), i ->
+       |            list_min(list_transform(h, v ->
+       |              (v * (2*i + 1) + i*7919 + 12345) % 1000000007))) AS sg
+       |        FROM hs),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |         WHERE len(list_filter(range(0, $bands), b2 ->
+       |             list_slice(a.sg, b2*$rows + 1, b2*$rows + $rows)
+       |             = list_slice(b.sg, b2*$rows + 1, b2*$rows + $rows))) > 0),
+       |tsets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |         round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(ta.ts, tb.ts))), 6)
+       |           AS jaccard
+       |  FROM cand c JOIN tsets ta ON ta.doc_id = c.doc_a
+       |              JOIN tsets tb ON tb.doc_id = c.doc_b)
+       |WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle CTE computing per-doc 64-bit SimHash from portable token
+    * hashes: per-bit ±1 votes, fingerprint assembled from exact
+    * powers of two (unsigned HUGEINT sum → signed BIGINT). */
+  private val simhashOracleCte: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |         string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |hs AS (SELECT doc_id, list_transform(
+       |           list_transform(t, x -> ${polySqlUnsigned("x")}),
+       |           u -> ${sqlToSigned("u")}) AS h
+       |       FROM toks),
+       |bits AS (SELECT doc_id, r.b AS b,
+       |           sum(CASE WHEN ((u.hv >> r.b) & 1) = 1
+       |               THEN 1 ELSE -1 END) AS vote
+       |         FROM (SELECT doc_id, unnest(h) AS hv FROM hs) u
+       |         CROSS JOIN range(0, 64) r(b)
+       |         GROUP BY 1, 2),
+       |sim AS (SELECT doc_id,
+       |          CAST(CASE WHEN uv >= 9223372036854775808
+       |               THEN uv - 18446744073709551616 ELSE uv END AS BIGINT)
+       |            AS simhash
+       |        FROM (SELECT doc_id,
+       |                sum(CASE WHEN vote > 0
+       |                    THEN CAST(power(2, b) AS HUGEINT)
+       |                    ELSE 0 END) AS uv
+       |              FROM bits GROUP BY 1))""".stripMargin
+
   /** One 64-bit string hash per shingle, reduced mod a prime — computed
     * ONCE; the k MinHash permutations are derived arithmetically from it
     * ([[minhashSig]]), so signature cost is 1 string hash + k
-    * multiply-mods per shingle instead of k string hashes. */
+    * multiply-mods per shingle instead of k string hashes.
+    *
+    * The base hash is the portable [[graft.functions.PolyHash64]]
+    * (native codegen, same cost shape as xxhash64) so DuckDB can
+    * recompute the identical signatures — that is what makes the
+    * MinHash dedup queries fully oracle-checkable. */
   def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
+    transform(shingleCol,
+      s => pmod(graft.functions.PolyHash64.polyhash64(s), lit(MinhashP)))
 
   /** MinHash signature over pre-hashed shingles: permutation i is the
     * Carter–Wegman universal hash h_i = (a_i·h + b_i) mod p (odd a_i,
@@ -139,7 +230,8 @@ object TextOps {
     simhashBandCache.getOrElseUpdate(d, {
       T.documents(spark, d)
         .select(col("doc_id"),
-          transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
+          transform(tokens(col("text")),
+            t => graft.functions.PolyHash64.polyhash64(t)).as("hs"))
         .select(col("doc_id"),
           graft.functions.SimHash64.simhash64(col("hs")).as("simhash"))
         .select(col("doc_id"), col("simhash"),
@@ -248,7 +340,10 @@ object TextOps {
               ORDER BY min_id""")),
 
     // MinHash+LSH near-dup candidates, exact-Jaccard verified at 0.5.
-    // Not ANSI-SQL-expressible (seeded xxhash64 signatures) → rows-only.
+    // Fully oracled: the portable PolyHash64 base hash lets DuckDB
+    // rebuild the identical signatures; band equality is mirrored as
+    // signature-slice equality (the banding xxhash64 is pure bucketing —
+    // equal slices ⇔ equal buckets).
     QueryDef(
       "x6_minhash_dedup",
       (s, d) => {
@@ -258,20 +353,23 @@ object TextOps {
             docs, 0.5)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(minhashOracle(k = 16, bands = 4, threshold = 0.5))),
 
-    // SimHash 64-bit fingerprints (near-dup hashing; rows-only — no
-    // DuckDB xxhash64). Native codegen'd SimHash64, bit-parity with the
-    // SQL reference locked in FunctionsSpec.
+    // SimHash 64-bit fingerprints (near-dup hashing). Native codegen'd
+    // SimHash64 over portable PolyHash64 token hashes — fully oracled:
+    // DuckDB recomputes the per-bit majority votes from the same
+    // portable hashes.
     QueryDef(
       "x7_simhash",
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
-          transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
+          transform(tokens(col("text")),
+            t => graft.functions.PolyHash64.polyhash64(t)).as("hs"))
         .select(col("doc_id"),
           graft.functions.SimHash64.simhash64(col("hs")).as("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some(s"""$simhashOracleCte
+              SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
 
     // n-gram Jaccard near-dup — LSH path with more bands (higher recall),
     // verified at a lower threshold (0.3) to surface fuzzier matches.
@@ -287,7 +385,7 @@ object TextOps {
             docs, 0.3)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(minhashOracle(k = 32, bands = 8, threshold = 0.3))),
 
     // SimHash near-dup join (Manku/Charikar): 64-bit fingerprints split
     // into 4×16-bit bands — by pigeonhole, any pair within hamming
@@ -299,7 +397,9 @@ object TextOps {
     // optimizer pushes isnotnull(simhash) below the projection and
     // inlines the token hashing into the per-bit lambda — re-tokenizing
     // every document 64× on BOTH join sides (measured 17 s vs ~1 s at
-    // sf0.1). Rows-only: xxhash64 fingerprints.
+    // sf0.1). Fully oracled via the portable fingerprints: the banded
+    // join is exhaustive at radius ≤3, so DuckDB's brute-force
+    // bit_count(xor) pair scan is the exact same set.
     QueryDef(
       "x13_simhash_neardup",
       (s, d) => {
@@ -316,7 +416,13 @@ object TextOps {
           .distinct() //   shuffle carries only near-dups, not candidates
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(s"""$simhashOracleCte
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              ORDER BY doc_a, doc_b""")),
 
     // Document fingerprint: Rabin-Karp rolling polynomial hash over the
     // raw characters, fp = fold(acc·257 + codepoint) mod 1e9+7 — kept in

@@ -85,6 +85,36 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("PolyHash64 native expression") {
+    it("matches the Scala reference fold on the documents corpus") {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val got = docs.select(col("doc_id"),
+          PolyHash64.polyhash64(col("text")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val texts = docs.select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      texts.foreach { case (id, t) =>
+        assert(got(id) == PolyHash64.hash(t), s"doc $id")
+      }
+    }
+
+    it("survives codegen on edge inputs (empty, 1-char, supplementary)") {
+      import spark.implicits._
+      val inputs = Seq("", "a", "ab", "a b", "😀x")
+      val got = inputs.toDF("s")
+        .select(PolyHash64.polyhash64(col("s")).as("h"))
+        .collect().map(_.getLong(0))
+      assert(got.toSeq == inputs.map(PolyHash64.hash))
+      // codepoint fold: the emoji counts as ONE codepoint (0x1F600)
+      val viaCp = {
+        val m = PolyHash64.M
+        ((m * m + 0x1F600L) * m + 'x'.toLong) * m
+      }
+      assert(PolyHash64.hash("😀x") == viaCp)
+    }
+  }
+
   describe("Jdbc source/sink (embedded Derby)") {
     it("writes customers to Derby and reads them back partitioned") {
       val dir = java.nio.file.Files.createTempDirectory("graft-derby")

@@ -30,7 +30,7 @@ class TextOpsSpec extends SparkSpec {
     val fp = T.documents(spark, sf)
       .select(col("doc_id"),
         transform(split(trim(col("text")), "\\s+"),
-          t => xxhash64(t)).as("hs"))
+          t => graft.functions.PolyHash64.polyhash64(t)).as("hs"))
       .select(col("doc_id"), expr(TextOps.simhashSqlOverHs).as("simhash"))
     val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val brute = a.crossJoin(
