@@ -24,27 +24,37 @@ object ClusterQuality {
       .groupBy(predCol, "dim")
       .agg(avg("v").as("c"), count(lit(1)).as("n"))
 
-  /** M10 — Calinski-Harabasz: (BG/(k−1)) / (WG/(n−k)). */
+  /** M10 — Calinski-Harabasz: (BG/(k−1)) / (WG/(n−k)).
+    *
+    * Single pass: ONE explode+groupBy shuffle reduces the table to k×w
+    * sufficient-statistic cells (Σv, Σv², count); BG and WG are then
+    * pure arithmetic on those cells, finished on the driver (k×w
+    * doubles — the algorithm's own state, like m4/m11). The previous
+    * two-pass form re-exploded the whole table a second time to join
+    * centroids back for WG; WG = Σ(Σv² − (Σv)²/n) needs no second
+    * pass. Cells are sorted before summing for deterministic FP. */
   def calinskiHarabasz(df: DataFrame, featuresCol: String = "features",
       predCol: String = "pred"): Double = {
-    val n = df.count().toDouble
-    val cells = centroidCells(df, featuresCol, predCol).cache()
-    val k = cells.select(predCol).distinct().count().toDouble
-    // global mean per dim (weighted by cluster sizes)
-    val bg = cells
-      .withColumn("gmean",
-        sum(col("c") * col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("dim")) /
-        sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("dim")))
-      .agg(sum(col("n") * pow(col("c") - col("gmean"), 2)))
-      .head().getDouble(0)
-    // WG = Σ_rows ‖x − c_cluster‖² via long-form join on (pred, dim)
-    val wg = df
-      .select(col(predCol), posexplode(col(featuresCol)).as(Seq("dim", "v")))
-      .join(cells.select(predCol, "dim", "c"), Seq(predCol, "dim"))
-      .agg(sum(pow(col("v") - col("c"), 2))).head().getDouble(0)
-    cells.unpersist()
+    val cells = df
+      .select(col(predCol).cast("string").as("p"),
+        posexplode(col(featuresCol)).as(Seq("dim", "v")))
+      .groupBy("p", "dim")
+      .agg(sum("v").as("s1"), sum(col("v") * col("v")).as("s2"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+      .sortBy(c => (c._1, c._2))
+    val n = cells.filter(_._2 == 0).map(_._5).sum.toDouble
+    val k = cells.map(_._1).distinct.length.toDouble
+    val perDim = cells.groupBy(_._2).view.mapValues { cs =>
+      cs.map(_._3).sum / cs.map(_._5).sum // gmean of this dim
+    }.toMap
+    val bg = cells.map { case (_, dim, s1, _, cnt) =>
+      val c = s1 / cnt
+      cnt * (c - perDim(dim)) * (c - perDim(dim))
+    }.sum
+    val wg = cells.map { case (_, _, s1, s2, cnt) => s2 - s1 * s1 / cnt }.sum
     (bg / (k - 1)) / (wg / (n - k))
   }
 

@@ -116,19 +116,21 @@ object MetricOps {
         val ch = ClusterQuality.calinskiHarabasz(df)
         s.range(1).select(round(lit(ch), 6).as("ch"))
       },
+      // sufficient-statistics form mirroring calinskiHarabasz: one
+      // pass builds (Σv, Σv², n) cells; WG = Σ(Σv² − (Σv)²/n)
       Some("""WITH cell AS (SELECT label, i AS dim,
-                       avg(CAST(embedding[i] AS DOUBLE)) AS c, count(*) AS n
+                       sum(CAST(embedding[i] AS DOUBLE)) AS s1,
+                       sum(pow(CAST(embedding[i] AS DOUBLE), 2)) AS s2,
+                       count(*) AS n
                      FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
-                   g AS (SELECT dim, sum(c * n) / sum(n) AS gmean
+                   g AS (SELECT dim, sum(s1) / sum(n) AS gmean
                          FROM cell GROUP BY 1),
-                   bg AS (SELECT sum(n * pow(c - gmean, 2)) AS bg
+                   bg AS (SELECT sum(n * pow(s1 / n - gmean, 2)) AS bg
                           FROM cell JOIN g USING (dim)),
-                   wg AS (SELECT sum(pow(CAST(e.embedding[i] AS DOUBLE) - cell.c, 2)) AS wg
-                          FROM embeddings e CROSS JOIN range(1, 65) t(i)
-                          JOIN cell ON cell.label = e.label AND cell.dim = i),
-                   meta AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   wg AS (SELECT sum(s2 - s1 * s1 / n) AS wg FROM cell),
+                   meta AS (SELECT CAST(sum(n) AS DOUBLE) AS n,
                                    CAST(count(DISTINCT label) AS DOUBLE) AS k
-                            FROM embeddings)
+                            FROM cell WHERE dim = 1)
               SELECT round((bg / (k - 1)) / (wg / (n - k)), 6) AS ch
               FROM bg, wg, meta""")),
 
