@@ -124,4 +124,44 @@ object EventStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Stream-stream interval join: purchases joined to same-user clicks
+    * from the preceding `windowHours` (the streaming face of the z7
+    * batch range join). Both sides carry watermarks, so join state is
+    * bounded: a buffered click is dropped once the purchase watermark
+    * passes click_ts + window — the only formulation that survives an
+    * unbounded feed. State shards by user_id (`shuffle.partitions`). */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String,
+      windowHours: Int = 6): DataFrame = {
+    nanosConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side(tpe: String) =
+      normalizeTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+        .filter(col("event_type") === tpe)
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = side("click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"${windowHours + 2} hours")
+    purchases.join(clicks,
+      expr(s"""p_user = c_user AND
+               c_ts <= p_ts AND c_ts > p_ts - INTERVAL $windowHours HOURS"""))
+  }
+
+  /** Run the stream-stream join to completion (AvailableNow). */
+  def runIntervalJoinOnce(spark: SparkSession, sfDir: String,
+      queryName: String = "event_join", windowHours: Int = 6): DataFrame = {
+    val q = streamIntervalJoin(spark, sfDir, windowHours).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -74,6 +74,27 @@ class ExtensionsSpec extends SparkSpec {
       assert(deduped.except(batch).count() == 0)
     }
 
+    it("stream-stream interval join equals the batch inequality join") {
+      val streamed = EventStream.runIntervalJoinOnce(spark, sf, "t_join")
+        .select("purchase_id", "click_id")
+      val e = EventStream.readEvents(spark, sf)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val batch = p.join(c,
+          expr("""p_user = c_user AND
+                  c_ts <= p_ts AND c_ts > p_ts - INTERVAL 6 HOURS"""))
+        .select("purchase_id", "click_id")
+      // within one AvailableNow pass nothing is late, so the streaming
+      // interval join must emit exactly the batch join's pairs
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    }
+
     it("sessionizes per-user events with custom state") {
       import spark.implicits._
       val evs = EventStream.readEvents(spark, sf)
