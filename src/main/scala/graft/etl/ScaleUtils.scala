@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUtils {
 
+  /** Collision-safe dataset namespace tag: SHA-1 hex prefix of the path.
+    * `String.hashCode`'s 32 bits could collide two dataset paths and
+    * silently reuse the other's physical layout / centroids (ADVICE r4);
+    * 64 digest bits make that a non-event. */
+  def pathTag(path: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** Exact two-phase salted sum/count aggregation:
     * groupBy(keys, salt) partial → groupBy(keys) merge. Use when one
     * key dominates (AQE skew-join covers joins; this covers groupBy).

@@ -42,9 +42,13 @@ case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    // Only the element types the eval/codegen getters handle; notably NOT
+    // DecimalType, which would otherwise fall through to getByte and
+    // produce silently wrong bucket ids.
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+        ShortType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"lsh_sign_bits expects a numeric array, got $t")
+      s"lsh_sign_bits expects array<float|double|int|long|short|byte>, got $t")
   }
 
   private def elemType: NumericType =

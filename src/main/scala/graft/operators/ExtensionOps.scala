@@ -197,7 +197,7 @@ object ExtensionOps {
     QueryDef(
       "z4_stream_windowed",
       (s, d) => EventStream.runWindowedOnce(s, d,
-          queryName = s"graft_stream_${math.abs(d.hashCode)}")
+          queryName = s"graft_stream_${graft.etl.ScaleUtils.pathTag(d)}")
         .select(col("window.start").as("ws"), col("event_type"), col("n"),
           round(col("total_value"), 4).as("total_value"))
         .orderBy("ws", "event_type"),

@@ -185,7 +185,7 @@ object RelationalOps {
         // table names are namespaced per dataset path, so the layout is
         // written ONCE per dataset per JVM and reused by every later run
         // (pay the layout once — the steady-state query is write-free)
-        val tag = math.abs(d.hashCode.toLong)
+        val tag = ScaleUtils.pathTag(d)
         val (bo, bc) = ScaleUtils.bucketedPair(s, o, c, "custkey", 16,
           s"graft_j7_orders_$tag", s"graft_j7_customer_$tag")
         bo.hint("merge").join(bc, Seq("custkey"))

@@ -125,7 +125,14 @@ object SimilarityOps {
       .withColumnRenamed("col", "bucket")
   }
 
-  private val sigCache = TrieMap.empty[String, DataFrame]
+  private val sigCache = new graft.etl.DfCache
+
+  /** Test hook: wipe the signature/count memos (ADVICE r4 — mirrors
+    * `Clustering.clearModelCacheForTest`). */
+  private[graft] def clearCachesForTest(): Unit = {
+    sigCache.clearForTest()
+    countCache.clear()
+  }
 
   /** Per-dataset persisted signature frame: the self-join in the ANN
     * queries derives BOTH sides from this frame, so materializing it once
@@ -288,7 +295,7 @@ object SimilarityOps {
           .stripPrefix("file:")
         val model = Clustering.kmeansModelCached(s"ivf:$d:$k", e, k = k,
           seed = 42, maxIter = 5, persistPath =
-            Some(s"$warehouse/graft_ivf_${math.abs(d.hashCode.toLong)}_k$k"))
+            Some(s"$warehouse/graft_ivf_${graft.etl.ScaleUtils.pathTag(d)}_k$k"))
         val cells = Clustering.predictWith(model, e)
           .withColumnRenamed("pred", "cell")
         val corpus = cells.select(col("vec_id").as("nid"),

@@ -6,7 +6,6 @@ import org.apache.spark.sql.{functions => Fn}
 import org.apache.spark.storage.StorageLevel
 import graft.{QueryDef, Tables => T}
 
-import scala.collection.concurrent.TrieMap
 
 /** Text-corpus operators for large-scale training-data pipelines over the
   * `documents` table: language profiling, token statistics, quality
@@ -188,7 +187,13 @@ object TextOps {
     .withColumn("sh", shingles(col("toks")))
     .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
 
-  private val shingleCache = TrieMap.empty[String, DataFrame]
+  private val shingleCache = new graft.etl.DfCache
+
+  /** Test hook: wipe the shingle/simhash memos (ADVICE r4). */
+  private[graft] def clearCachesForTest(): Unit = {
+    shingleCache.clearForTest()
+    simhashBandCache.clearForTest()
+  }
 
   /** Per-dataset persisted [[hashedShingles]] frame: x6 (k=16) and x8
     * (k=32) both derive their signatures from it — tokenize + shingle +
@@ -226,7 +231,7 @@ object TextOps {
       .distinct()
   }
 
-  private val simhashBandCache = TrieMap.empty[String, DataFrame]
+  private val simhashBandCache = new graft.etl.DfCache
 
   /** Banded SimHash fingerprint frame `(doc_id, simhash, band,
     * band_val)` — 4 rows per doc, four longs each — persisted once per

@@ -112,6 +112,10 @@ object NpyDataSource {
           s"got shape (${dims.mkString(",")})")
       }
       require(cols <= Int.MaxValue, s"$p: too many columns ($cols)")
+      // one row must fit a byte[] — without this, cols*itemSize > 2 GiB
+      // would overflow rowBytes.toInt into a negative array size
+      require(cols * SupportedDtypes(descr) <= Int.MaxValue,
+        s"$p: row exceeds 2 GiB ($cols cols × ${SupportedDtypes(descr)} B)")
       Meta(p.toString, 8L + headerLenBytes + headerLen, rows, cols.toInt, descr)
     } finally in.close()
   }
@@ -172,10 +176,14 @@ private[sources] class NpyScan(path: String, required: StructType,
   override def description(): String =
     s"npy $path required=${required.fieldNames.mkString(",")}"
 
+  // Spark's Hadoop conf, not a blank Configuration — it carries
+  // credentials/settings for non-local filesystems (ADVICE r4)
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new java.net.URI(
-        if (path.contains(":/")) path else s"file:$path"),
-      new Configuration())
+    val qualified = if (path.contains(":/")) path else s"file:$path"
+    val fs = new Path(qualified).getFileSystem(hadoopConf)
     val metas = NpyDataSource.resolveFiles(fs, path)
       .map(p => NpyDataSource.readMeta(fs, p))
     require(metas.map(_.cols).distinct.size == 1,
@@ -196,19 +204,24 @@ private[sources] class NpyScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NpyReaderFactory(required)
+    new NpyReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 }
 
-private[sources] class NpyReaderFactory(required: StructType)
+private[sources] class NpyReaderFactory(required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NpyPartitionReader(partition.asInstanceOf[NpyInputPartition], required)
+    new NpyPartitionReader(partition.asInstanceOf[NpyInputPartition], required,
+      conf)
 }
 
 /** Streams one row-range: a single seek, then buffered fixed-stride
   * record decode. When `values` is pruned away no data byte is read. */
 private[sources] class NpyPartitionReader(p: NpyInputPartition,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
 
   private val needValues = required.fieldNames.contains("values")
   private var row = p.rowStart
@@ -217,11 +230,10 @@ private[sources] class NpyPartitionReader(p: NpyInputPartition,
 
   private def in = {
     if (stream == null) {
-      val fs = FileSystem.get(new java.net.URI(
-          if (p.meta.path.contains(":/")) p.meta.path
-          else s"file:${p.meta.path}"),
-        new Configuration())
-      stream = fs.open(new org.apache.hadoop.fs.Path(p.meta.path))
+      val qualified =
+        if (p.meta.path.contains(":/")) p.meta.path else s"file:${p.meta.path}"
+      val hp = new org.apache.hadoop.fs.Path(qualified)
+      stream = hp.getFileSystem(conf.value).open(hp)
       stream.seek(p.meta.dataOffset + p.rowStart * p.meta.rowBytes)
     }
     stream

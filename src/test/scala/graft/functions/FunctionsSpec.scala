@@ -67,6 +67,18 @@ class FunctionsSpec extends SparkSpec {
       }.sum
       assert(viaCol == expected)
     }
+
+    it("rejects array<decimal> at analysis time (no silent getByte path)") {
+      import graft.operators.SimilarityOps
+      import spark.implicits._
+      val df = Seq(Seq(BigDecimal(1.5), BigDecimal(-2.5))).toDF("v")
+      val planes = SimilarityOps.planeMatrix(4, 2, 42L)
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(graft.functions.LshSignBits.lsh_sign_bits(col("v"), planes))
+          .collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("lsh_sign_bits"))
+    }
   }
 
   describe("SimHash64 native expression") {
