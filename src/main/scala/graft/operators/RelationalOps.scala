@@ -28,6 +28,32 @@ object RelationalOps {
   private def knuthSql(key: String, seed: Long): String =
     s"(($key * 2654435761 + $seed) % 4294967296)"
 
+  /** F6 — the reference's piecewise hyperparameter-cell formatter
+    * (`format_cell`, Evaluation_Auxiliary/AE_results.ipynb cell 11) as a
+    * codegen'd when-chain; fully expressible in ANSI SQL (CASE+printf).
+    *
+    * The NaN test is hoisted FIRST: both Spark SQL and DuckDB order NaN
+    * above every numeric, so the reference's late `np.isnan` branch would
+    * be unreachable behind `val >= 1` — hoisting keeps the Python
+    * semantics (where NaN >= 1 is False) on both engines. The exact
+    * equality sentinels (0.1, 0.01, …) are safe across engines: both
+    * compare the identical IEEE-754 doubles. %.Nf parity holds because no
+    * double ties exactly at a decimal boundary for N ≥ 1 (odd/2·10^N has
+    * no power-of-two denominator); %.0f CAN tie (x.5 is representable) —
+    * callers feed it values ≥ 1 that are integral sums, matching the
+    * reference's epoch/batch-size cells. */
+  def formatCell(v: Column): Column =
+    when(isnan(v), lit("NA"))
+      .when(v >= 1, format_string("%.0f", v))
+      .when(v === 0, lit("0"))
+      .when(v === 0.1, lit("0.1"))
+      .when(v === 0.01, lit("0.01"))
+      .when(v === 0.2, lit("0.2"))
+      .when(v === 0.4, lit("0.4"))
+      .when(v === 0.6, lit("0.6"))
+      .when(v < 0.0001, format_string("%.7f", v))
+      .otherwise(format_string("%.4f", v))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- §2.1 scans ------------------------------------------------------
@@ -506,6 +532,52 @@ object RelationalOps {
                      array_to_string(list_slice(string_split(p_name, ' '), 1, 2), '_')
                        AS key2
               FROM part ORDER BY p_partkey""")),
+
+    // F6: piecewise cell formatting (format_cell, AE_results.ipynb cell
+    // 11) driven over real aggregates — sums hit the %.0f branch, the
+    // exact min/max discounts (0.0 / 0.1 doubles) hit the sentinel
+    // branches, the scaled-down average hits %.7f, the average %.4f.
+    QueryDef(
+      "f6_format_cell",
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sq"),
+          round(avg("l_discount"), 6).as("ad"),
+          min("l_discount").as("mind"),
+          max("l_discount").as("maxd"),
+          (round(avg("l_discount"), 6) / 10000).as("tiny"))
+        .select(col("l_returnflag"),
+          expr("stack(5, 'sum_qty', sq, 'avg_disc', ad, 'min_disc', mind, " +
+            "'max_disc', maxd, 'tiny', tiny) AS (metric, value)"))
+        .select(col("l_returnflag"), col("metric"),
+          formatCell(col("value")).as("fmt"))
+        .orderBy("l_returnflag", "metric"),
+      Some("""WITH agg AS (
+                SELECT l_returnflag,
+                       CAST(sum(l_quantity) AS DOUBLE) AS sq,
+                       round(avg(l_discount), 6) AS ad,
+                       min(l_discount) AS mind,
+                       max(l_discount) AS maxd,
+                       round(avg(l_discount), 6) / 10000 AS tiny
+                FROM lineitem GROUP BY 1),
+              u AS (
+                SELECT l_returnflag, 'sum_qty' AS metric, sq AS value FROM agg
+                UNION ALL SELECT l_returnflag, 'avg_disc', ad FROM agg
+                UNION ALL SELECT l_returnflag, 'min_disc', mind FROM agg
+                UNION ALL SELECT l_returnflag, 'max_disc', maxd FROM agg
+                UNION ALL SELECT l_returnflag, 'tiny', tiny FROM agg)
+              SELECT l_returnflag, metric,
+                     CASE WHEN isnan(value) THEN 'NA'
+                          WHEN value >= 1 THEN printf('%.0f', value)
+                          WHEN value = 0 THEN '0'
+                          WHEN value = 0.1 THEN '0.1'
+                          WHEN value = 0.01 THEN '0.01'
+                          WHEN value = 0.2 THEN '0.2'
+                          WHEN value = 0.4 THEN '0.4'
+                          WHEN value = 0.6 THEN '0.6'
+                          WHEN value < 0.0001 THEN printf('%.7f', value)
+                          ELSE printf('%.4f', value) END AS fmt
+              FROM u ORDER BY l_returnflag, metric""")),
 
     // F10: unpivot / pivot_longer (AE_results.ipynb cell 130). Spark-side
     // stack() of per-flag aggregates; DuckDB-side UNION ALL.

@@ -81,6 +81,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("formatCell (F6 — format_cell, AE_results.ipynb cell 11)") {
+    it("matches the reference's piecewise formatting on every branch") {
+      import graft.operators.RelationalOps
+      import spark.implicits._
+      val cases = Seq(
+        500.0 -> "500",          // >= 1 → %.0f
+        1.0 -> "1",
+        0.0 -> "0",              // exact-zero sentinel
+        0.1 -> "0.1",            // sentinel equalities
+        0.01 -> "0.01",
+        0.2 -> "0.2", 0.4 -> "0.4", 0.6 -> "0.6",
+        0.00005 -> "0.0000500",  // < 1e-4 → %.7f
+        -3.5 -> "-3.5000000",    // negative falls to < 1e-4 like the Python
+        0.05 -> "0.0500",        // else → %.4f
+        0.12345678 -> "0.1235",
+        Double.NaN -> "NA")      // NaN first — Spark orders NaN above all
+      val got = cases.map(_._1).toDF("v")
+        .select(RelationalOps.formatCell(col("v")).as("f"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == cases.map(_._2))
+    }
+  }
+
   describe("SimHash64 native expression") {
     it("matches the SQL HOF reference fingerprint bit-for-bit") {
       import graft.operators.TextOps
