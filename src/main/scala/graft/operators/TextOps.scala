@@ -64,9 +64,15 @@ object TextOps {
   /** Shared oracle CTE prefix: tokens, word-3-gram shingles (with the
     * whole-text short-doc fallback shingles() uses), mod-p shingle
     * hashes — the DuckDB image of [[hashedShingles]]. */
-  private def minhashOracle(k: Int, bands: Int, threshold: Double): String = {
-    val rows = k / bands
-    s"""WITH toks AS (SELECT doc_id,
+  /** Shared CTE chain ending in `verified(doc_a, doc_b, jaccard)` — the
+    * DuckDB image of [[minhashCandidatesFrom]] + [[jaccardVerify]]. Used
+    * by the x6/x8 oracles directly and embedded under WITH RECURSIVE by
+    * the x16 connected-components oracle. */
+  /** CTE chain `toks → sh → hs` — the DuckDB image of
+    * [[hashedShingles]]: whitespace tokens, word-3-gram shingles, mod-p
+    * portable shingle hashes. */
+  private def shingleHashCtes: String =
+    s"""toks AS (SELECT doc_id,
        |         string_split_regex(trim(text), '\\s+') AS t FROM documents),
        |sh AS (SELECT doc_id, CASE WHEN len(t) < 3
        |           THEN [array_to_string(t, ' ')]
@@ -78,7 +84,12 @@ object TextOps {
        |           list_transform(s, x -> ${polySqlUnsigned("x")}),
        |           u -> ((${sqlToSigned("u")} % 1000000007) + 1000000007)
        |                % 1000000007) AS h
-       |       FROM sh),
+       |       FROM sh)""".stripMargin
+
+  private def minhashVerifiedCtes(k: Int, bands: Int,
+      threshold: Double): String = {
+    val rows = k / bands
+    s"""$shingleHashCtes,
        |sig AS (SELECT doc_id, list_transform(range(0, $k), i ->
        |            list_min(list_transform(h, v ->
        |              (v * (2*i + 1) + i*7919 + 12345) % 1000000007))) AS sg
@@ -88,17 +99,21 @@ object TextOps {
        |         WHERE len(list_filter(range(0, $bands), b2 ->
        |             list_slice(a.sg, b2*$rows + 1, b2*$rows + $rows)
        |             = list_slice(b.sg, b2*$rows + 1, b2*$rows + $rows))) > 0),
-       |tsets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks)
-       |SELECT doc_a, doc_b, jaccard FROM (
+       |tsets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+       |verified AS (SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT c.doc_a, c.doc_b,
        |         round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
        |               / len(list_distinct(list_concat(ta.ts, tb.ts))), 6)
        |           AS jaccard
        |  FROM cand c JOIN tsets ta ON ta.doc_id = c.doc_a
        |              JOIN tsets tb ON tb.doc_id = c.doc_b)
-       |WHERE jaccard >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  private def minhashOracle(k: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashVerifiedCtes(k, bands, threshold)}
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Oracle CTE computing per-doc 64-bit SimHash from portable token
     * hashes: per-bit ±1 votes, fingerprint assembled from exact
@@ -270,6 +285,68 @@ object TextOps {
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Distributed connected components over an undirected edge list
+    * `(doc_a, doc_b)` — min-label propagation with pointer jumping
+    * (each round also follows the label's own label), the alternating
+    * scheme that converges in O(log n) rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * literature). This is the canonical finish of a near-dup pipeline:
+    * banding yields PAIRS; keep-one-per-cluster needs COMPONENTS.
+    *
+    * Scale shape: each round is two hash joins + a groupBy min over the
+    * (persisted) label frame — no global window, no driver adjacency.
+    * Convergence is detected with a LIMIT-1 count on moved labels, so
+    * the per-round driver cost is one tiny job. Rounds are capped
+    * defensively; dup-graph diameters are small and pointer jumping
+    * halves path lengths every round.
+    *
+    * Returns `(doc_id, component)` for every endpoint, component = min
+    * doc_id of its component — deterministic under any partitioning. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // localCheckpoint truncates lineage every round. Without it the
+    // round-r logical plan nests the round-(r−1) plan on BOTH sides of
+    // the pointer-jump self-join — plan size doubles per round and
+    // Catalyst re-optimization time grows exponentially (measured: the
+    // dup graph converges in 3 rounds, but round 3 alone cost ~10 s of
+    // pure driver planning). A multi-tenant cluster deployment would use
+    // reliable checkpoint(dir) for fault tolerance; the algorithm is
+    // identical.
+    // checkpoint the edge list BEFORE the bidirectional union — the
+    // (possibly expensive) edge producer runs once, not once per branch
+    val e0 = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = bi.select(col("u")).distinct()
+      .withColumn("lbl", col("u"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      val prop = bi
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy("u").agg(min("vlbl").as("nlbl"))
+        .join(labels, "u")
+        .select(col("u"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: adopt the label of the current label
+      val jumped = prop
+        .join(prop.select(col("u").as("lbl"), col("lbl").as("plbl")),
+          Seq("lbl"), "left")
+        .select(col("u"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val moved = jumped
+        .join(labels.select(col("u"), col("lbl").as("old")), "u")
+        .filter(col("lbl") =!= col("old"))
+        .limit(1).count()
+      prop.unpersist()
+      labels = jumped
+      converged = moved == 0
+      rounds += 1
+    }
+    labels.select(col("u").as("doc_id"), col("lbl").as("component"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -618,6 +695,116 @@ object TextOps {
                           WHEN es >= fr THEN 'es'
                           ELSE 'fr' END AS pred,
                      count(*) AS n
-              FROM v GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM v GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Near-dup CLUSTERS: connected components over the verified MinHash
+    // pairs (same edge set as x6) — banding yields pairs, keep-one-per-
+    // cluster needs components; transitive closure matters (A~B, B~C ⇒
+    // {A,B,C} even when A,C never collide). Oracle: recursive min-label
+    // reachability over the identical portable-hash edge CTEs.
+    QueryDef(
+      "x16_dup_components",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val edges = jaccardVerify(
+          minhashCandidatesFrom(cachedHashedShingles(s, d), k = 16, bands = 4),
+          docs, 0.5)
+        connectedComponents(edges.select("doc_a", "doc_b"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${minhashVerifiedCtes(16, 4, 0.5)},
+              |bi AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              |       UNION ALL SELECT doc_b, doc_a FROM verified),
+              |reach(u, r) AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM bi)
+              |  UNION
+              |  SELECT bi.u, reach.r FROM bi JOIN reach ON bi.v = reach.u)
+              |SELECT u AS doc_id, min(r) AS component
+              |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination check: fraction of each training doc's
+    // distinct 3-gram shingles that appear in the held-out benchmark
+    // split (docs with doc_id % 20 = 0 stand in for the eval set — the
+    // same synthetic-split rule as z1/z2). The GPT-3/Pile-style n-gram
+    // overlap decontamination pass, as one hash semi-join: explode
+    // distinct shingle hashes, left-join the (distinct, small) benchmark
+    // hash set, ratio per doc. AQE broadcasts the benchmark side when it
+    // fits; otherwise it is a plain shuffled hash join — never all-pairs.
+    QueryDef(
+      "x17_contamination",
+      (s, d) => {
+        val ex = cachedHashedShingles(s, d)
+          .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+        val bench = ex.filter(col("doc_id") % 20 === 0)
+          .select("h").distinct().withColumn("hit", lit(1))
+        ex.filter(col("doc_id") % 20 =!= 0)
+          .join(bench, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_shingles"), 6)
+              .as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleHashCtes,
+              |ex AS (SELECT doc_id, unnest(list_distinct(h)) AS hv FROM hs),
+              |bench AS (SELECT DISTINCT hv FROM ex WHERE doc_id % 20 = 0)
+              |SELECT ex.doc_id,
+              |       CAST(count(*) AS BIGINT) AS n_shingles,
+              |       CAST(sum(CASE WHEN bench.hv IS NOT NULL THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS n_hit,
+              |       round(CAST(sum(CASE WHEN bench.hv IS NOT NULL THEN 1 ELSE 0 END)
+              |                  AS DOUBLE) / count(*), 6) AS contamination
+              |FROM ex LEFT JOIN bench ON ex.hv = bench.hv
+              |WHERE ex.doc_id % 20 <> 0
+              |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin)),
+
+    // BM25 ranking (Robertson–Spärck Jones, k1=1.2 b=0.75, Lucene-style
+    // idf = ln(1 + (N−df+0.5)/(df+0.5))) for a fixed conjunctive query —
+    // the retrieval scorer of a data-curation stack. Corpus stats (N,
+    // avgdl) and per-term df are tiny aggregate frames (broadcast); the
+    // per-doc side is one scan → explode → filtered groupBy. Top-10 with
+    // doc_id tiebreak on the ROUNDED score so selection is identical
+    // across engines.
+    QueryDef(
+      "x18_bm25",
+      (s, d) => {
+        val docsT = T.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val dls = docsT.select(col("doc_id"), size(col("t")).as("dl"))
+        val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        val tf = docsT
+          .select(col("doc_id"), explode(col("t")).as("term"))
+          .filter(col("term").isin("hash", "join", "merge"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(dls, "doc_id")
+          .crossJoin(broadcast(stats))
+          .join(broadcast(dfreq), "term")
+          .withColumn("idf",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("sc", col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id").agg(round(sum("sc"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS t FROM documents),
+              dls AS (SELECT doc_id, len(t) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                     WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+              SELECT doc_id,
+                     round(sum(idf * tf * 2.2 /
+                           (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+              FROM (SELECT f.doc_id, f.tf, d.dl, s.avgdl,
+                           ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) AS idf
+                    FROM tf f JOIN dls d ON f.doc_id = d.doc_id
+                    CROSS JOIN stats s JOIN dfreq q ON f.term = q.term)
+              GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"""))
   )
 }

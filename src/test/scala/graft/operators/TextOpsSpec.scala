@@ -90,6 +90,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  it("connectedComponents merges transitively and labels by min id") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 never pair directly), separate pair 10-11, and a
+    // long path 20..26 (diameter 6 — exercises >1 propagation round),
+    // plus a cross-link making 26~20 redundant
+    val edges = Seq(
+      (2L, 1L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L),
+      (25L, 26L), (26L, 20L)).toDF("doc_a", "doc_b")
+    val got = TextOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L) ++
+      (20L to 26L).map(_ -> 20L).toMap
+    assert(got == want)
+  }
+
+  it("connectedComponents of an empty edge list is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(TextOps.connectedComponents(empty).count() == 0)
+  }
+
   it("x15 top bigrams are count-descending and exercised") {
     val rows = graft.SparkEntry.queries("x15_top_bigrams")(
         spark, "/root/testdata/sf0.001").collect()
