@@ -760,6 +760,43 @@ object TextOps {
               |WHERE ex.doc_id % 20 <> 0
               |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin)),
 
+    // Domain-mixture report: per-source doc/token budgets, each source's
+    // share of the total token count, and the resampling factor that
+    // would flatten the mixture to uniform — the bookkeeping behind
+    // data-mixture weighting in pretraining pipelines. One groupBy + a
+    // broadcast 1-row total; scales as a plain two-level aggregation.
+    QueryDef(
+      "x19_domain_mix",
+      (s, d) => {
+        val perDoc = T.documents(s, d)
+          .select(col("source"), size(tokens(col("text"))).as("nt"))
+        val agg = perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"))
+        val tot = agg.agg(sum("total_tokens").as("grand"),
+          count(lit(1)).as("k"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            round(col("total_tokens").cast("double") / col("grand"), 6)
+              .as("token_share"),
+            round((col("grand").cast("double") / col("k")) /
+              col("total_tokens"), 6).as("uniform_upsample"))
+          .orderBy("source")
+      },
+      Some("""WITH perdoc AS (SELECT source,
+                       len(string_split_regex(trim(text), '\s+')) AS nt
+                     FROM documents),
+              agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(nt) AS BIGINT) AS total_tokens
+                      FROM perdoc GROUP BY 1),
+              tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand,
+                             CAST(count(*) AS BIGINT) AS k FROM agg)
+              SELECT source, n_docs, total_tokens,
+                     round(CAST(total_tokens AS DOUBLE) / grand, 6)
+                       AS token_share,
+                     round((CAST(grand AS DOUBLE) / k) / total_tokens, 6)
+                       AS uniform_upsample
+              FROM agg CROSS JOIN tot ORDER BY source""")),
+
     // BM25 ranking (Robertson–Spärck Jones, k1=1.2 b=0.75, Lucene-style
     // idf = ln(1 + (N−df+0.5)/(df+0.5))) for a fixed conjunctive query —
     // the retrieval scorer of a data-curation stack. Corpus stats (N,

@@ -121,4 +121,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  it("x17_contamination joins by shingle hash (no nested loop, partial agg)") {
+    // the benchmark-overlap check must stay an equality join on the
+    // shingle hash with map-side partial counts — a nested-loop
+    // containment probe would be O(docs × benchmark)
+    val p = planOf("x17_contamination")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  it("x18_bm25 broadcasts corpus stats and df, takes top-k without global sort") {
+    // N/avgdl and per-term df are tiny aggregate frames — they must ride
+    // in as broadcasts; the final top-10 must be TakeOrdered
+    val p = planOf("x18_bm25")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
