@@ -760,6 +760,51 @@ object TextOps {
               |WHERE ex.doc_id % 20 <> 0
               |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin)),
 
+    // Quality-weighted importance sampling: band each doc by its
+    // stopword-ratio quality signal (the x3 filter), then keep it iff a
+    // seeded multiplicative hash of doc_id falls under the band's keep
+    // rate (high 1.0 / mid 0.5 / low 0.1) — deterministic curation
+    // subsampling with zero RNG state and zero shuffle (pure per-row
+    // expressions; the ORDER BY is presentation). The DataComp/DCLM-style
+    // quality-resample pass as one scan.
+    QueryDef(
+      "x20_quality_sample",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val stop = Fn.filter(toks, t =>
+          t.isin("the", "of", "and", "a", "to", "de", "la", "le", "und", "el"))
+        T.documents(s, d)
+          .select(col("doc_id"),
+            round(size(stop).cast("double") / greatest(size(toks), lit(1)), 6)
+              .as("sr"))
+          .select(col("doc_id"),
+            when(col("sr") >= 0.08, "high").when(col("sr") >= 0.04, "mid")
+              .otherwise("low").as("band"))
+          .withColumn("u",
+            pmod(col("doc_id") * lit(2654435761L) + lit(77L),
+              lit(4294967296L)))
+          .filter(col("u") <
+            when(col("band") === "high", 1.0)
+              .when(col("band") === "mid", 0.5)
+              .otherwise(0.1) * lit(4294967296.0))
+          .select("doc_id", "band")
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id,
+                       round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t IN ('the','of','and','a','to','de','la','le','und','el'))) AS DOUBLE)
+                             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+                         AS sr
+                     FROM documents),
+              b AS (SELECT doc_id, CASE WHEN sr >= 0.08 THEN 'high'
+                         WHEN sr >= 0.04 THEN 'mid' ELSE 'low' END AS band
+                    FROM q)
+              SELECT doc_id, band FROM b
+              WHERE ((doc_id * 2654435761 + 77) % 4294967296)
+                    < CASE band WHEN 'high' THEN 1.0 WHEN 'mid' THEN 0.5
+                      ELSE 0.1 END * 4294967296
+              ORDER BY doc_id""")),
+
     // Domain-mixture report: per-source doc/token budgets, each source's
     // share of the total token count, and the resampling factor that
     // would flatten the mixture to uniform — the bookkeeping behind
