@@ -94,7 +94,11 @@ object MetricOps {
               FROM hcv""")),
 
     // M7 — Hungarian-remapped accuracy (k×k assignment solved on the
-    // driver; not ANSI-SQL-expressible → rows-only).
+    // driver). Oracled by exhaustive enumeration: with 3 labels × 5
+    // preds the optimum equals the max over all 60 injective
+    // label→pred maps, which a recursive CTE enumerates — the general
+    // k×k Hungarian stays driver-side, but its VALUE is SQL-checkable
+    // at this fixture's k.
     QueryDef(
       "m7_hungarian_acc",
       (s, d) => {
@@ -104,7 +108,25 @@ object MetricOps {
         val (_, acc) = Hungarian.remap(df)
         s.range(1).select(round(lit(acc), 6).as("remapped_acc"))
       },
-      None),
+      Some("""WITH RECURSIVE
+              c AS (SELECT o_orderstatus AS l, o_orderpriority AS p,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1, 2),
+              ls AS (SELECT l, row_number() OVER (ORDER BY l) AS r
+                     FROM (SELECT DISTINCT l FROM c)),
+              ps AS (SELECT DISTINCT p FROM c),
+              grid AS (SELECT ls.r, ps.p, coalesce(c.n, 0) AS n
+                       FROM ls CROSS JOIN ps
+                       LEFT JOIN c ON c.l = ls.l AND c.p = ps.p),
+              a(step, used, tot) AS (
+                SELECT 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT a.step + 1, list_append(a.used, g.p), a.tot + g.n
+                FROM a JOIN grid g ON g.r = a.step + 1
+                WHERE NOT list_contains(a.used, g.p))
+              SELECT round(CAST(max(tot) AS DOUBLE)
+                           / (SELECT sum(n) FROM c), 6) AS remapped_acc
+              FROM a WHERE step = (SELECT max(r) FROM ls)""")),
 
     // M10 — Calinski-Harabasz over embeddings clustered by label.
     QueryDef(

@@ -208,7 +208,23 @@ object TextOps {
   private[graft] def clearCachesForTest(): Unit = {
     shingleCache.clearForTest()
     simhashBandCache.clearForTest()
+    verifiedPairsCache.clearForTest()
   }
+
+  private val verifiedPairsCache = new graft.etl.DfCache
+
+  /** Per-(dataset, band-geometry, threshold) persisted verified near-dup
+    * pairs: x6 reports them and x16 clusters them — candidate generation
+    * + Jaccard verification runs once per JVM, same pay-once discipline
+    * as the shingle frame. */
+  def cachedVerifiedPairs(spark: SparkSession, d: String, k: Int,
+      bands: Int, threshold: Double): DataFrame =
+    verifiedPairsCache.getOrElseUpdate(s"$d|$k|$bands|$threshold", {
+      jaccardVerify(
+          minhashCandidatesFrom(cachedHashedShingles(spark, d), k, bands),
+          T.documents(spark, d), threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Per-dataset persisted [[hashedShingles]] frame: x6 (k=16) and x8
     * (k=32) both derive their signatures from it — tokenize + shingle +
@@ -436,13 +452,8 @@ object TextOps {
     // equal slices ⇔ equal buckets).
     QueryDef(
       "x6_minhash_dedup",
-      (s, d) => {
-        val docs = T.documents(s, d)
-        jaccardVerify(
-            minhashCandidatesFrom(cachedHashedShingles(s, d), k = 16, bands = 4),
-            docs, 0.5)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => cachedVerifiedPairs(s, d, k = 16, bands = 4, threshold = 0.5)
+        .orderBy("doc_a", "doc_b"),
       Some(minhashOracle(k = 16, bands = 4, threshold = 0.5))),
 
     // SimHash 64-bit fingerprints (near-dup hashing). Native codegen'd
@@ -468,13 +479,8 @@ object TextOps {
     // explosion at 100×; TextOpsSpec asserts sub-quadratic growth).
     QueryDef(
       "x8_ngram_jaccard",
-      (s, d) => {
-        val docs = T.documents(s, d)
-        jaccardVerify(
-            minhashCandidatesFrom(cachedHashedShingles(s, d), k = 32, bands = 8),
-            docs, 0.3)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => cachedVerifiedPairs(s, d, k = 32, bands = 8, threshold = 0.3)
+        .orderBy("doc_a", "doc_b"),
       Some(minhashOracle(k = 32, bands = 8, threshold = 0.3))),
 
     // SimHash near-dup join (Manku/Charikar): 64-bit fingerprints split
@@ -704,14 +710,10 @@ object TextOps {
     // reachability over the identical portable-hash edge CTEs.
     QueryDef(
       "x16_dup_components",
-      (s, d) => {
-        val docs = T.documents(s, d)
-        val edges = jaccardVerify(
-          minhashCandidatesFrom(cachedHashedShingles(s, d), k = 16, bands = 4),
-          docs, 0.5)
-        connectedComponents(edges.select("doc_a", "doc_b"))
-          .orderBy("doc_id")
-      },
+      (s, d) => connectedComponents(
+          cachedVerifiedPairs(s, d, k = 16, bands = 4, threshold = 0.5)
+            .select("doc_a", "doc_b"))
+        .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${minhashVerifiedCtes(16, 4, 0.5)},
               |bi AS (SELECT doc_a AS u, doc_b AS v FROM verified
               |       UNION ALL SELECT doc_b, doc_a FROM verified),
