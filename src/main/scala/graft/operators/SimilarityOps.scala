@@ -105,6 +105,63 @@ object SimilarityOps {
   def lshBucketFast(v: Column, nBits: Int, dims: Int, seed: Long): Column =
     graft.functions.LshSignBits.lsh_sign_bits(v, planeMatrix(nBits, dims, seed))
 
+  /** The SAME literal hyperplanes the plan embeds, as a DuckDB 3-level
+    * list literal `planes[tab][bit][dim]` — what makes the ANN queries
+    * fully oracle-checkable: the oracle needs no xxhash64, just the
+    * numbers. `Double.toString` round-trips exactly; the `e0` suffix
+    * forces DuckDB to parse DOUBLE (a bare `0.234` literal would be
+    * DECIMAL and poison the arithmetic). */
+  private def planeSqlLiteral(seeds: Seq[Long], maxBits: Int,
+      dims: Int): String =
+    seeds.map { sd =>
+      planeMatrix(maxBits, dims, sd).map(row =>
+        row.map { v =>
+          val s = v.toString
+          if (s.contains("E") || s.contains("e")) s else s + "e0"
+        }.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+
+  /** Oracle CTE chain ending in `sig(vec_id, tab, bucket, embedding)` —
+    * the DuckDB image of [[bucketedFrame]] over literal planes.
+    *
+    * Bit-width: the integer rule `min b: 64·2^b ≥ n` equals
+    * [[scaledLshBits]]'s ceil-log formulation except exactly AT
+    * power-of-two boundaries (where JVM/libm ulp could differ); no
+    * driver scale factor sits on a boundary (n = 500 / 2000 → 4 / 5
+    * bits). Dot products are `list_sum` over in-order products, the
+    * same formulation the y1 cosine oracle hash-passes with; the sign
+    * test is exact, which is safe because plane dots on the synthetic
+    * corpus are never within fp-drift of zero. */
+  private[operators] def lshSigCtes(seeds: Seq[Long],
+      maxBits: Int = 12): String =
+    s"""pl AS (SELECT ${planeSqlLiteral(seeds, maxBits, 64)} AS p),
+       |nb AS (SELECT least(24, greatest(4,
+       |         (SELECT min(b) FROM range(0, 25) t(b)
+       |          WHERE 64 * (CAST(1 AS BIGINT) << b)
+       |                >= (SELECT count(*) FROM embeddings)))) AS nbits),
+       |dots AS (SELECT e.vec_id, t.tab, b.b,
+       |           list_sum(list_transform(range(1, 65),
+       |             i -> CAST(e.embedding[i] AS DOUBLE)
+       |                  * pl.p[t.tab + 1][b.b + 1][i])) AS d
+       |         FROM embeddings e, range(0, ${seeds.length}) t(tab),
+       |              range(0, $maxBits) b(b), pl, nb
+       |         WHERE b.b < nb.nbits),
+       |bk AS (SELECT vec_id, tab,
+       |         CAST(sum(CASE WHEN d >= 0
+       |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+       |           AS bucket
+       |       FROM dots GROUP BY 1, 2),
+       |sig AS (SELECT bk.vec_id, bk.tab, bk.bucket, e.embedding
+       |        FROM bk JOIN embeddings e USING (vec_id))""".stripMargin
+
+  /** In-order cosine between two embedding columns, the SQL image of
+    * the fused [[fastCosine]] loop (same y1-proven formulation). */
+  private[operators] def cosineSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
   private val countCache = TrieMap.empty[String, Long]
 
   /** Corpus row count, computed once per (dataset key) per JVM — sizing
@@ -341,6 +398,26 @@ object SimilarityOps {
       "y4_lsh_ann",
       (s, d) => lshTopK(T.embeddings(s, d), k = 3,
         cacheKey = Some(s"emb:$d")),
-      None)
+      // Fully oracled (round 5): the seeded hyperplanes are plan-time
+      // constants, so the oracle simply inlines the same literal matrix
+      // and replays bucketing → banded self-join → distinct → cosine →
+      // per-query top-3 in SQL.
+      Some(s"""WITH ${lshSigCtes(SimilarityOps.defaultSeeds)},
+              |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+              |         FROM sig a JOIN sig b
+              |           ON a.tab = b.tab AND a.bucket = b.bucket
+              |         WHERE a.vec_id <> b.vec_id),
+              |scored AS (SELECT c.qid, c.nid,
+              |             round(${cosineSql("ea.embedding", "eb.embedding")}, 4)
+              |               AS cos_sim
+              |           FROM cand c
+              |           JOIN embeddings ea ON ea.vec_id = c.qid
+              |           JOIN embeddings eb ON eb.vec_id = c.nid),
+              |ranked AS (SELECT qid, nid, cos_sim,
+              |             row_number() OVER (PARTITION BY qid
+              |               ORDER BY cos_sim DESC, nid) AS rk
+              |           FROM scored)
+              |SELECT qid, nid, cos_sim FROM ranked WHERE rk <= 3
+              |ORDER BY qid, cos_sim DESC, nid""".stripMargin))
   )
 }

@@ -643,7 +643,17 @@ object TextOps {
           .filter(col("cos_sim") >= 0.25)
           .orderBy("id_a", "id_b")
       },
-      None),
+      // Fully oracled (round 5): literal-plane bucketing replayed in
+      // SQL (single table, seed 42), same shape as the y4 oracle.
+      Some(s"""WITH ${SimilarityOps.lshSigCtes(Seq(42L))},
+              |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |            round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 4)
+              |              AS cos_sim
+              |          FROM sig a JOIN sig b
+              |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, cos_sim FROM pairs
+              |WHERE cos_sim >= 0.25
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Language-ID heuristic: stopword-profile voting + CJK detection.
     // (The synthetic corpus shares one vocabulary across `lang` labels, so
