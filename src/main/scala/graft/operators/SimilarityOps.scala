@@ -386,6 +386,32 @@ object SimilarityOps {
       },
       None),
 
+    // Product-quantization ANN (IVF-PQ's codebook half): vectors
+    // compress to one packed BIGINT of m 4-bit codes; a query scans
+    // CODES, not vectors — per-row cost is m literal-table lookups.
+    // Rows-only: codebooks come from iterative seeded KMeans fits.
+    QueryDef(
+        "y6_pq_ann",
+        (s, d) => {
+          import graft.ml.Pq
+          val e = T.embeddings(s, d)
+          val model = Pq.fitCached(s"pq:$d", e.select(
+              transform(col("embedding"), x => x.cast("double"))
+                .as("features")), dims = 64)
+          val q = e.filter(col("vec_id") === 0)
+            .select(col("embedding")).head()
+            .getSeq[Float](0).map(_.toDouble).toSeq
+          val table = Pq.adcTable(q, model)
+          e.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"),
+              Pq.encode(col("embedding"), model).as("code"))
+            .select(col("vec_id"),
+              round(Pq.adcDistance(col("code"), table), 6).as("adc_d2"))
+            .orderBy(col("adc_d2"), col("vec_id"))
+            .limit(10)
+        },
+        None),
+
     // LSH-bucketed approximate neighbors: hyperplane sign bits → join
     // within buckets only (the 100 TB path: bucket join replaces the
     // quadratic cross join). Bit-width scales with the corpus
@@ -393,7 +419,6 @@ object SimilarityOps {
     // quadratic verify — stays bounded at 100×; `tables` independent
     // hash tables union their candidates for recall (candidate set is a
     // superset of any single table's, so recall is monotone in L).
-    // Rows-only check (seeded hyperplanes aren't ANSI-SQL-expressible).
     QueryDef(
       "y4_lsh_ann",
       (s, d) => lshTopK(T.embeddings(s, d), k = 3,
