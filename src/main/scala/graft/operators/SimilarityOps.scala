@@ -386,6 +386,52 @@ object SimilarityOps {
       },
       None),
 
+    // The composed 100 TB index: IVF cell routing (y5's cached √n-cell
+    // quantizer) + PQ codes (y6's cached codebooks). A query probes its
+    // 2 nearest cells and ADC-scans ONLY those cells' packed codes —
+    // at 10⁹ vectors that is 2/√n of the corpus touched, as 8-byte
+    // codes instead of 512-byte float arrays. Rows-only (two model
+    // fits). Shares both model caches with y5/y6 — steady-state is
+    // pure probe+scan.
+    QueryDef(
+      "y7_ivfpq_ann",
+      (s, d) => {
+        import graft.ml.{Clustering, Pq}
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("features"))
+        val n = cachedCount(s"emb:$d", e)
+        val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val warehouse = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val ivf = Clustering.kmeansModelCached(s"ivf:$d:$k",
+          T.embeddings(s, d).select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("features")),
+          k = k, seed = 42, maxIter = 5, persistPath =
+            Some(s"$warehouse/graft_ivf_${graft.etl.ScaleUtils.pathTag(d)}_k$k"))
+        val pq = Pq.fitCached(s"pq:$d", e.select(col("features")), dims = 64)
+        val q = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toSeq
+        // probe the 2 nearest cells driver-side: k centroids, tiny
+        val probed = ivf.clusterCenters.zipWithIndex
+          .map { case (c, i) =>
+            val a = c.toArray
+            (i, a.indices.map(j => {
+              val x = a(j) - q(j); x * x
+            }).sum)
+          }
+          .sortBy { case (i, d2) => (d2, i) }.take(2).map(_._1.toLong)
+        val table = Pq.adcTable(q, pq)
+        Clustering.predictWith(ivf, e).withColumnRenamed("pred", "cell")
+          .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            Pq.encode(col("features"), pq).as("code"))
+          .select(col("vec_id"),
+            round(Pq.adcDistance(col("code"), table), 6).as("adc_d2"))
+          .orderBy(col("adc_d2"), col("vec_id"))
+          .limit(10)
+      },
+      None),
+
     // Product-quantization ANN (IVF-PQ's codebook half): vectors
     // compress to one packed BIGINT of m 4-bit codes; a query scans
     // CODES, not vectors — per-row cost is m literal-table lookups.

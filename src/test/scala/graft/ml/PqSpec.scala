@@ -92,5 +92,14 @@ class PqSpec extends SparkSpec {
       // recall ~10/499 ≈ 0.02
       assert(mean >= 0.15, f"ADC recall $mean%.3f below floor")
     }
+
+    it("IVF-PQ composition (y7) returns a full ADC-ordered top-10") {
+      val rows = graft.SparkEntry.queries("y7_ivfpq_ann")(
+        spark, "/root/testdata/sf0.001").collect()
+      assert(rows.length == 10)
+      val ds = rows.map(_.getDouble(1))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      assert(rows.forall(_.getLong(0) != 0L)) // query vector excluded
+    }
   }
 }
