@@ -899,6 +899,100 @@ object TextOps {
                            ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) AS idf
                     FROM tf f JOIN dls d ON f.doc_id = d.doc_id
                     CROSS JOIN stats s JOIN dfreq q ON f.term = q.term)
-              GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+              GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+    // CCNet-style n-gram LM quality scoring: train an add-one-smoothed
+    // bigram language model on an 80% hash-slice of the corpus
+    // (doc_id % 5 <> 0), then score EVERY document's per-token
+    // cross-entropy under it — the classic "perplexity filter" that
+    // ranks documents by how typical their language is (perplexity is
+    // exp(xent), monotone in it; xent itself is reported because it is
+    // exactly reproducible).
+    //
+    // Determinism: per-bigram log-probs are quantized to BIGINT
+    // micro-nats BEFORE the per-doc sum, so the aggregation is exact
+    // integer arithmetic — independent of partitioning and summation
+    // order on both engines (double sums over hundreds of terms would
+    // hash-mismatch on reduction order). ln() is evaluated on the same
+    // rational number on both sides and its 1-ulp platform drift cannot
+    // move a micro-nat boundary (ln of a rational ≠ 1 is irrational).
+    //
+    // Scale shape: two aggregations over the exploded train slice
+    // (map-side partial combine), then the scoring side joins the
+    // count frames on uniform string keys — AQE broadcasts them when
+    // the vocab fits (it does here; a web-scale vocab degrades to a
+    // plain shuffled hash join, never all-pairs), and the 1-row vocab
+    // frame rides as an explicit broadcast like x18's corpus stats.
+    QueryDef(
+      "x21_lm_xent",
+      (s, d) => {
+        val toksAll = T.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val train = toksAll.filter(col("doc_id") % 5 =!= 0)
+        val uni = train.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bi = train.select(explode(shingles(col("t"), n = 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("cb"))
+        // staged projection: tokenize once, then one explode producing
+        // (w1, bigram) pairs — w1 keys the unigram denominator join
+        val docBg = toksAll.select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("t")) - 1),
+            i => struct(
+              element_at(col("t"), i).as("w1"),
+              concat(element_at(col("t"), i), lit(" "),
+                element_at(col("t"), i + 1)).as("bg")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        docBg
+          .join(bi, Seq("bg"), "left")
+          .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            round(log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))
+              * 1e6).cast("long").as("micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("micro").as("sm"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(-(col("sm").cast("double") / 1e6) / col("n_bigrams"), 6)
+              .as("xent"))
+          .orderBy("doc_id")
+      },
+      // DuckDB zips the two aligned unnests in docbg; micro-nat
+      // quantization keeps the summed column integer on both engines.
+      Some("""WITH toks AS (SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS t
+                     FROM documents
+                     WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+              train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+              uni AS (SELECT w, count(*) AS cu
+                      FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
+              vocab AS (SELECT count(*) AS v FROM uni),
+              bi AS (SELECT bg, count(*) AS cb
+                     FROM (SELECT unnest(CASE WHEN len(t) < 2
+                                  THEN [array_to_string(t, ' ')]
+                                  ELSE list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1]) END)
+                                  AS bg
+                           FROM train) GROUP BY 1),
+              docbg AS (SELECT doc_id,
+                               unnest(list_transform(range(1, len(t)),
+                                      i -> t[i])) AS w1,
+                               unnest(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])) AS bg
+                        FROM toks),
+              scored AS (SELECT f.doc_id,
+                           CAST(round(ln(CAST(coalesce(b.cb, 0) + 1 AS DOUBLE) /
+                                         CAST(coalesce(u.cu, 0) + v.v AS DOUBLE))
+                                      * 1000000) AS BIGINT) AS micro
+                         FROM docbg f
+                         LEFT JOIN bi b USING (bg)
+                         LEFT JOIN uni u ON f.w1 = u.w
+                         CROSS JOIN vocab v)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(-(CAST(sum(micro) AS DOUBLE) / 1000000.0)
+                           / count(*), 6) AS xent
+              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
