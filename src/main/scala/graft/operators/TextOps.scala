@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => Fn}
 import org.apache.spark.storage.StorageLevel
@@ -335,30 +336,35 @@ object TextOps {
     val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
-    var labels = bi.select(col("u")).distinct()
-      .withColumn("lbl", col("u"))
+    // seed with min(self, neighbors) — the first propagation round for
+    // the price of one groupBy, no join against an identity labeling
+    var labels = bi.groupBy("u")
+      .agg(least(col("u"), min(col("v"))).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 40) {
+      // one frame per round carrying (u, old, lbl): propagate min over
+      // neighbors, then pointer-jump through the round's own mapping.
+      // Keeping `old` in-frame means convergence detection is a filter
+      // over the already-materialized checkpoint — no extra join job.
       val prop = bi
         .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy("u").agg(min("vlbl").as("nlbl"))
         .join(labels, "u")
-        .select(col("u"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .select(col("u"), col("lbl").as("old"),
+          least(col("lbl"), col("nlbl")).as("lbl1"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: adopt the label of the current label
       val jumped = prop
-        .join(prop.select(col("u").as("lbl"), col("lbl").as("plbl")),
-          Seq("lbl"), "left")
-        .select(col("u"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+        .join(prop.select(col("u").as("lbl1"), col("lbl1").as("plbl")),
+          Seq("lbl1"), "left")
+        .select(col("u"), col("old"),
+          coalesce(col("plbl"), col("lbl1")).as("lbl"))
         .localCheckpoint(true)
-      val moved = jumped
-        .join(labels.select(col("u"), col("lbl").as("old")), "u")
-        .filter(col("lbl") =!= col("old"))
-        .limit(1).count()
+      val moved = jumped.filter(col("lbl") =!= col("old")).limit(1).count()
       prop.unpersist()
-      labels = jumped
+      labels = jumped.select("u", "lbl")
       converged = moved == 0
       rounds += 1
     }
@@ -993,6 +999,58 @@ object TextOps {
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                      round(-(CAST(sum(micro) AS DOUBLE) / 1000000.0)
                            / count(*), 6) AS xent
-              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+              FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Sequence packing: concat each source's docs in doc_id order and
+    // chunk the token stream into 4096-token training shards — every
+    // doc is tagged with the shard its first token lands in (the
+    // "concat and chunk" step that turns a curated corpus into
+    // fixed-length pretraining sequences).
+    //
+    // Scale shape: the running token total is a DISTRIBUTED two-level
+    // prefix sum, not a per-source window — a window partitioned only
+    // by source would pull a source's every doc through ONE task (the
+    // exact shape the sp2/ETL fixes removed). Level 1 sums each
+    // 4096-doc id-bucket (plain groupBy, map-side combine); the
+    // cross-bucket running offset is a window over that 4096×-smaller
+    // aggregate frame; level 2's intra-bucket window is partitioned by
+    // (source, bucket) with ≤4096 rows per task. At 1e9 docs/source the
+    // level-1 frame is ~244k rows — and the same fold applies again if
+    // that ever becomes the bottleneck.
+    QueryDef(
+      "x22_token_pack",
+      (s, d) => {
+        val perDoc = T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(tokens(col("text"))).as("nt"),
+            expr("doc_id DIV 4096").as("bkt"))
+        val boff = perDoc.groupBy("source", "bkt")
+          .agg(sum("nt").as("bsum"))
+          .withColumn("boff",
+            coalesce(sum("bsum").over(
+              Window.partitionBy("source").orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "bkt", "boff")
+        perDoc
+          .withColumn("isum",
+            coalesce(sum("nt").over(
+              Window.partitionBy("source", "bkt").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .join(boff, Seq("source", "bkt"))
+          .select(col("source"), col("doc_id"), col("nt"),
+            expr("(boff + isum) DIV 4096").as("shard"))
+          .orderBy("source", "doc_id")
+      },
+      // The oracle states the SPEC (one flat per-source running sum);
+      // the Spark plan implements it hierarchically — same numbers.
+      Some("""WITH perdoc AS (SELECT source, doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS nt
+                     FROM documents)
+              SELECT source, doc_id, nt,
+                     coalesce(sum(nt) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) // 4096 AS shard
+              FROM perdoc ORDER BY source, doc_id"""))
   )
 }

@@ -100,6 +100,18 @@ class PlanSpec extends SparkSpec {
         .forall(_.contains("user_id")), p)
   }
 
+  it("x22_token_pack prefix sum is hierarchical — every window partitioned") {
+    // the running token total must never run as one task per source: the
+    // cross-bucket offset window rides the 4096×-smaller aggregate frame
+    // and the intra-bucket window is partitioned by (source, bucket)
+    val p = planOf("x22_token_pack")
+    assert(p.contains("Window"), p)
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("source") &&
+        (l.contains("bkt") || l.contains("bsum"))), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   it("z6_asof_join is window-composed, not an inequality join") {
     // the as-of match must come from the per-user running window —
     // any nested-loop/cartesian materialization is the O(n*m) shape
