@@ -122,4 +122,35 @@ class TextOpsSpec extends SparkSpec {
     assert(counts.head > 1, "top bigram should repeat in the corpus")
     rows.foreach(r => assert(r.getString(0).split(" ").length == 2))
   }
+
+  it("x21 cross-entropy is positive and counts bigrams = tokens - 1") {
+    val sf = "/root/testdata/sf0.001"
+    val xent = graft.SparkEntry.queries("x21_lm_xent")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ntok = graft.SparkEntry.queries("x2_token_count")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(xent.keySet == ntok.keySet.filter(ntok(_) >= 2))
+    xent.foreach { case (id, (nbg, x)) =>
+      assert(nbg == ntok(id) - 1, s"doc $id: $nbg bigrams, ${ntok(id)} tokens")
+      assert(x > 0 && !x.isInfinite, s"doc $id: xent=$x")
+      // add-one smoothing bounds every bigram logprob by ln(vocab+max cu)
+      assert(x < 20, s"doc $id: implausible xent=$x")
+    }
+  }
+
+  it("x22 shard assignment equals a driver-side replay of the running sum") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("x22_token_pack")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // output arrives sorted (source, doc_id); replay the greedy pack
+    var prevSource = ""
+    var cum = 0L
+    rows.foreach { case (source, docId, nt, shard) =>
+      if (source != prevSource) { prevSource = source; cum = 0L }
+      assert(shard == cum / 4096,
+        s"doc $docId in $source: shard=$shard, expected ${cum / 4096}")
+      cum += nt
+    }
+    assert(rows.map(_._1).distinct.length > 1, "needs multiple sources")
+  }
 }
