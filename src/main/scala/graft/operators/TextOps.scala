@@ -72,13 +72,22 @@ object TextOps {
   /** CTE chain `toks → sh → hs` — the DuckDB image of
     * [[hashedShingles]]: whitespace tokens, word-3-gram shingles, mod-p
     * portable shingle hashes. */
-  private def shingleHashCtes: String =
+  private def shingleHashCtes: String = spanHashCtes(3)
+
+  /** [[shingleHashCtes]] generalized to word-`n`-gram spans — the DuckDB
+    * image of `shingleHashes(shingles(toks, n))` for any width (x23 uses
+    * n=10 for the substring-dedup span signal). */
+  private def spanHashCtes(n: Int): String = {
+    val cat = (0 until n).map {
+      case 0 => "t[i]"
+      case j => s"t[i+$j]"
+    }.mkString(" || ' ' || ")
     s"""toks AS (SELECT doc_id,
        |         string_split_regex(trim(text), '\\s+') AS t FROM documents),
-       |sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+       |sh AS (SELECT doc_id, CASE WHEN len(t) < $n
        |           THEN [array_to_string(t, ' ')]
-       |           ELSE list_transform(range(1, len(t) - 1),
-       |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END
+       |           ELSE list_transform(range(1, len(t) - ${n - 2}),
+       |                  i -> $cat) END
        |           AS s
        |       FROM toks),
        |hs AS (SELECT doc_id, list_transform(
@@ -86,6 +95,31 @@ object TextOps {
        |           u -> ((${sqlToSigned("u")} % 1000000007) + 1000000007)
        |                % 1000000007) AS h
        |       FROM sh)""".stripMargin
+  }
+
+  /** DuckDB image of [[cachedSpanHashes]]: per-token mod-p hashes, then
+    * width-`n` Horner span folds (whole-list fold for short docs) —
+    * ends in `ex(doc_id, hv)`, per-doc distinct span hashes exploded. */
+  private def spanHornerCtes(n: Int): String =
+    s"""toks AS (SELECT doc_id,
+       |         string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |ht AS (SELECT doc_id, list_transform(
+       |           list_transform(t, x -> ${polySqlUnsigned("x")}),
+       |           u -> ((${sqlToSigned("u")} % 1000000007) + 1000000007)
+       |                % 1000000007) AS ht
+       |       FROM toks),
+       |sp AS (SELECT doc_id, CASE WHEN len(ht) < $n
+       |           THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), ht),
+       |                  (acc, h) -> (acc * $SpanB + h) % 1000000007)]
+       |           ELSE list_transform(range(1, len(ht) - ${n - 2}),
+       |                  i -> list_reduce(
+       |                    list_prepend(CAST(0 AS BIGINT),
+       |                      list_slice(ht, i, i + ${n - 1})),
+       |                    (acc, h) -> (acc * $SpanB + h) % 1000000007))
+       |           END AS hs
+       |       FROM ht),
+       |ex AS (SELECT doc_id, unnest(list_distinct(hs)) AS hv FROM sp)"""
+      .stripMargin
 
   private def minhashVerifiedCtes(k: Int, bands: Int,
       threshold: Double): String = {
@@ -204,13 +238,55 @@ object TextOps {
     .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
 
   private val shingleCache = new graft.etl.DfCache
+  private val spanHashCache = new graft.etl.DfCache
 
   /** Test hook: wipe the shingle/simhash memos (ADVICE r4). */
   private[graft] def clearCachesForTest(): Unit = {
     shingleCache.clearForTest()
+    spanHashCache.clearForTest()
     simhashBandCache.clearForTest()
     verifiedPairsCache.clearForTest()
   }
+
+  /** Base for the Horner span-hash fold (any value < MinhashP works;
+    * both engines reproduce the identical arithmetic). */
+  private val SpanB = 1000003L
+
+  /** Word-`n`-gram span hashes derived ARITHMETICALLY from per-token
+    * hashes: span(i) = Horner fold of (tokHash[i..i+n-1]) base [[SpanB]]
+    * mod p. Hashing each span STRING costs n string builds + an
+    * O(chars) hash per span (measured 20 s to build the sf0.1 frame on
+    * one input split); hashing each token once and folding costs n
+    * multiply-adds per span (~0.3 s). Same trick as the Carter–Wegman
+    * MinHash permutations: one real hash, arithmetic derivation.
+    * ANSI-safe: acc < p ≈ 2³⁰, acc·B ≈ 2⁵⁰ < Long.Max. Short docs
+    * (< n tokens) fold the whole token-hash list — the image of the
+    * whole-text fallback in [[shingles]]. */
+  def spanHashes(tokHashes: Column, n: Int): Column =
+    when(size(tokHashes) < n,
+      array(aggregate(tokHashes, lit(0L),
+        (acc, h) => pmod(acc * SpanB + h, lit(MinhashP)))))
+      .otherwise(transform(sequence(lit(1), size(tokHashes) - (n - 1)),
+        i => (0 until n).foldLeft(lit(0L)) {
+          (acc, j) => pmod(acc * SpanB + element_at(tokHashes, i + j),
+            lit(MinhashP))
+        }))
+
+  /** Per-(dataset, width) persisted exploded span-hash frame
+    * `(doc_id, h)` — per-doc DISTINCT word-n-gram hashes. Both sides of
+    * x23's dup-count join read this one frame; without the barrier the
+    * optimizer inlines the tokenize+hash chain into each side's scan
+    * AND its explode-pruning filter (6 evaluations of the chain per
+    * document instead of 1). */
+  def cachedSpanHashes(spark: SparkSession, d: String, n: Int): DataFrame =
+    spanHashCache.getOrElseUpdate(s"$d|$n", {
+      T.documents(spark, d)
+        .select(col("doc_id"), shingleHashes(tokens(col("text"))).as("ht"))
+        .select(col("doc_id"),
+          array_distinct(spanHashes(col("ht"), n)).as("hs"))
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   private val verifiedPairsCache = new graft.etl.DfCache
 
@@ -321,7 +397,8 @@ object TextOps {
     *
     * Returns `(doc_id, component)` for every endpoint, component = min
     * doc_id of its component — deterministic under any partitioning. */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     // localCheckpoint truncates lineage every round. Without it the
     // round-r logical plan nests the round-(r−1) plan on BOTH sides of
     // the pointer-jump self-join — plan size doubles per round and
@@ -333,6 +410,37 @@ object TextOps {
     // checkpoint the edge list BEFORE the bidirectional union — the
     // (possibly expensive) edge producer runs once, not once per branch
     val e0 = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // Scale-adaptive strategy (the checkpoint makes the count free):
+    // a near-dup edge list is VASTLY smaller than the corpus that
+    // produced it, and union-find over collected (long, long) pairs is
+    // linear-ish time and 16 B/edge — under the gate, a driver solve
+    // replaces ~log(diameter) rounds × several jobs of scheduling
+    // latency (measured: the 1.9 k-node semantic graph spent ~6 s in
+    // 8 pointer-jump rounds, vs ~50 ms collected). Above the gate the
+    // O(log n) distributed loop below is the path — same labels either
+    // way (spec-asserted), so callers never see the switch.
+    val nEdges = e0.count()
+    if (nEdges <= driverMaxEdges) {
+      val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // label every member by the component MINIMUM (union order above
+      // already parents larger roots under smaller, so find() is min)
+      val labeled = parent.keysIterator.map(v => (v, find(v))).toSeq
+      import edges.sparkSession.implicits._
+      return labeled.toDF("doc_id", "component")
+    }
     val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
@@ -1051,6 +1159,198 @@ object TextOps {
                          ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND 1 PRECEDING), 0) // 4096 AS shard
-              FROM perdoc ORDER BY source, doc_id"""))
+              FROM perdoc ORDER BY source, doc_id""")),
+
+    // Duplicated-span signal (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better"): the substring-dedup decision
+    // needs, per document, how much of it is a word-span that also
+    // appears elsewhere in the corpus. Exact surrogate for the suffix
+    // array: every 10-word span, portably hashed, counted across docs.
+    // Scale shape: explode carries only (doc_id, span_hash) longs — the
+    // span STRINGS never shuffle; one count shuffle on the uniform hash
+    // + one join back. Never all-pairs, never a driver structure.
+    QueryDef(
+      "x23_dup_spans",
+      (s, d) => {
+        val ex = cachedSpanHashes(s, d, n = 10)
+        // per-doc distinct spans, so count(*) per hash = distinct docs
+        val dup = ex.groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select(col("h"), lit(1).as("dup"))
+        ex.join(dup, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(coalesce(col("dup"), lit(0))).as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${spanHornerCtes(10)},
+              |dup AS (SELECT hv FROM ex GROUP BY hv HAVING count(*) >= 2)
+              |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |       CAST(sum(CASE WHEN dup.hv IS NOT NULL THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS n_dup_spans,
+              |       round(CAST(sum(CASE WHEN dup.hv IS NOT NULL
+              |                           THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / count(*), 6) AS dup_frac
+              |FROM ex LEFT JOIN dup ON ex.hv = dup.hv
+              |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin)),
+
+    // PII scrubbing: email/phone redaction counts + scrubbed-content
+    // digest. The corpus is synthetic word salad with no PII, so the
+    // query plants one deterministic email + phone per document (pure
+    // doc_id arithmetic — both engines build the identical string), then
+    // runs the real scrub pipeline over text+plant. Per-row regex
+    // codegen, zero shuffle before the presentation sort; at 100 TB this
+    // is a map-only pass. Patterns are RE2-and-Java-portable.
+    QueryDef(
+      "x24_pii_scrub",
+      (s, d) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}"
+        val aug = concat(col("text"),
+          lit(" contact uid"), col("doc_id"), lit("@mail.example or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        T.documents(s, d)
+          .select(col("doc_id"), aug.as("t0"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t0"), lit(email), lit(0)))
+              .as("n_email"),
+            size(regexp_extract_all(col("t0"), lit(phone), lit(0)))
+              .as("n_phone"),
+            md5(regexp_replace(
+              regexp_replace(col("t0"), email, "<EMAIL>"),
+              phone, "<PHONE>")).as("scrub_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+                       text || ' contact uid' || doc_id
+                            || '@mail.example or +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         AS t0
+                     FROM documents)
+              SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+                     len(regexp_extract_all(t0,
+                         '\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}')) AS n_phone,
+                     md5(regexp_replace(regexp_replace(t0,
+                         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                         '\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g'))
+                       AS scrub_md5
+              FROM aug ORDER BY doc_id""")),
+
+    // Filter-threshold selection: per-source exact token-count quantiles
+    // (the numbers a curation pipeline reads before setting its
+    // min/max-length cutoffs). Spark's `percentile` matches DuckDB's
+    // quantile_cont (linear interpolation). Exact per-group percentile
+    // buffers the group's values — fine for O(sources) groups; the
+    // 100 TB path swaps in approx_percentile(ε=1e-4) at identical plan
+    // shape (documented in SCALE.md, closeness spec'd in TextOpsSpec).
+    QueryDef(
+      "x25_quality_quantiles",
+      (s, d) => T.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(nt, 0.1D)"), 4).as("p10"),
+          round(expr("percentile(nt, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(nt, 0.9D)"), 4).as("p90"))
+        .orderBy("source"),
+      Some("""WITH nt AS (SELECT source,
+                       len(string_split_regex(trim(text), '\s+')) AS nt
+                     FROM documents)
+              SELECT source, count(*) AS n_docs,
+                     round(quantile_cont(nt, 0.1), 4) AS p10,
+                     round(quantile_cont(nt, 0.5), 4) AS p50,
+                     round(quantile_cont(nt, 0.9), 4) AS p90
+              FROM nt GROUP BY source ORDER BY source""")),
+
+    // Semantic-dedup DECISION table: connected components over the
+    // x11 embedding near-dup pairs (same literal-plane LSH buckets +
+    // cosine threshold), keep = canonical (minimum) member. x16 gives
+    // lexical dup clusters; this is its semantic twin — transitive
+    // closure matters for chains A~B~C where A,C never share a bucket.
+    // Shares x11/y4's persisted signature frame; the component loop is
+    // the same O(log n) pointer-jumping used by x16.
+    QueryDef(
+      "x26_semantic_components",
+      (s, d) => {
+        import graft.{Tables => TT}
+        val key = s"emb:$d"
+        val nBits = SimilarityOps.scaledLshBits(
+          SimilarityOps.cachedCount(key, TT.embeddings(s, d)))
+        val e = SimilarityOps.cachedBucketedFrame(key, TT.embeddings(s, d),
+          nBits, Seq(42L), 64)
+        val a = e.select(col("vec_id").as("id_a"),
+          col("embedding").as("e_a"), col("bucket"))
+        val b = e.select(col("vec_id").as("id_b"),
+          col("embedding").as("e_b"), col("bucket"))
+        val pairs = a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(SimilarityOps.fastCosine(col("e_a"), col("e_b")), 4)
+            >= 0.25)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        connectedComponents(pairs)
+          .select(col("doc_id").as("vec_id"), col("component"),
+            when(col("doc_id") === col("component"), 1).otherwise(0)
+              .as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${SimilarityOps.lshSigCtes(Seq(42L))},
+              |pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
+              |          FROM sig a JOIN sig b
+              |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |          WHERE round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 4)
+              |                >= 0.25),
+              |bi AS (SELECT u, v FROM pairs
+              |       UNION ALL SELECT v, u FROM pairs),
+              |reach(u, r) AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM bi)
+              |  UNION
+              |  SELECT bi.u, reach.r FROM bi JOIN reach ON bi.v = reach.u)
+              |SELECT u AS vec_id, min(r) AS component,
+              |       CASE WHEN u = min(r) THEN 1 ELSE 0 END AS keep
+              |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin)),
+
+    // Vocabulary coverage / OOV rate: build the corpus vocabulary as
+    // every token covering >= 1% of corpus mass, then score each doc's
+    // out-of-vocabulary fraction — the tokenizer-fit sanity gate of an
+    // LLM data pipeline. The vocab derives from a count shuffle on the
+    // token itself (uniform); the 1-row total rides a broadcast; the
+    // vocab joins back broadcast (it is tiny BY CONSTRUCTION: at most
+    // 100 tokens can each hold >= 1% of mass at any corpus size).
+    QueryDef(
+      "x27_oov_rate",
+      (s, d) => {
+        val tok = T.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val tot = tok.agg(count(lit(1)).as("total"))
+        val vocab = tok.groupBy("t").agg(count(lit(1)).as("n"))
+          .crossJoin(tot)
+          .filter(col("n") * 100 >= col("total"))
+          .select(col("t"), lit(1).as("iv"))
+        tok.join(vocab, Seq("t"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1).otherwise(0)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens"), 6)
+              .as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS t
+                     FROM documents),
+              tot AS (SELECT count(*) AS total FROM tok),
+              vocab AS (SELECT t FROM tok, tot
+                        GROUP BY t, total HAVING count(*) * 100 >= total)
+              SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN vocab.t IS NOT NULL THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_oov,
+                     round(CAST(sum(CASE WHEN vocab.t IS NOT NULL THEN 0 ELSE 1 END)
+                                AS DOUBLE) / count(*), 6) AS oov_rate
+              FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+              GROUP BY tok.doc_id ORDER BY tok.doc_id"""))
   )
 }

@@ -150,4 +150,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  it("x23_dup_spans joins by span hash (never all-pairs, partial agg)") {
+    // the duplicated-span count must flow through equality joins on the
+    // span hash — a nested-loop doc×doc span compare is the O(n²) plan
+    // this query exists to avoid
+    val p = planOf("x23_dup_spans")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  it("x24_pii_scrub is scan-shaped (no shuffle before the final sort)") {
+    // redaction is per-row regex codegen; the ONLY exchange allowed is
+    // the presentation ORDER BY
+    val p = planOf("x24_pii_scrub")
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1, p)
+  }
+
+  it("x27_oov_rate broadcasts the by-construction-tiny vocabulary") {
+    // at most 100 tokens can each hold >=1% of corpus mass, so the
+    // vocab side must ride in as a broadcast at ANY corpus size
+    val p = planOf("x27_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -113,6 +113,26 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.connectedComponents(empty).count() == 0)
   }
 
+  it("connectedComponents driver and distributed paths produce identical labels") {
+    import spark.implicits._
+    // the chain/path fixture from above, plus the REAL x6 edge set —
+    // driverMaxEdges = 0 forces the distributed pointer-jumping loop
+    val fixtures = Seq(
+      Seq((2L, 1L), (2L, 3L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L),
+        (25L, 26L), (26L, 20L)).toDF("doc_a", "doc_b"),
+      TextOps.cachedVerifiedPairs(spark, "/root/testdata/sf0.001",
+        k = 16, bands = 4, threshold = 0.5).select("doc_a", "doc_b"))
+    fixtures.foreach { edges =>
+      val viaDriver = TextOps.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = TextOps.connectedComponents(edges, driverMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == viaLoop)
+      assert(viaDriver.nonEmpty)
+    }
+  }
+
   it("x15 top bigrams are count-descending and exercised") {
     val rows = graft.SparkEntry.queries("x15_top_bigrams")(
         spark, "/root/testdata/sf0.001").collect()
@@ -152,5 +172,138 @@ class TextOpsSpec extends SparkSpec {
       cum += nt
     }
     assert(rows.map(_._1).distinct.length > 1, "needs multiple sources")
+  }
+
+  it("x23 dup-span counts equal a driver-side replay over raw spans") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("x23_dup_spans")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val nDocs = T.documents(spark, sf).count()
+    assert(rows.size == nDocs, "every doc must be scored")
+    rows.foreach { case (id, (n, nd, frac)) =>
+      assert(n > 0 && nd <= n, s"doc $id: $nd of $n")
+      assert(math.abs(frac - nd.toDouble / n) < 1e-6)
+    }
+    // replay on raw strings (no hashing): per-doc distinct 10-word
+    // spans, duplicated = held by >= 2 docs
+    val spans = T.documents(spark, sf).collect().map { r =>
+      val ts = r.getAs[String]("text").trim.split("\\s+")
+      val sp = if (ts.length < 10) Set(ts.mkString(" "))
+        else ts.sliding(10).map(_.mkString(" ")).toSet
+      r.getAs[Long]("doc_id") -> sp
+    }
+    val byCount = spans.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).toMap
+    spans.foreach { case (id, sp) =>
+      val nd = sp.count(byCount(_) >= 2).toLong
+      assert((rows(id)._1, rows(id)._2) == ((sp.size.toLong, nd)),
+        s"doc $id: got ${rows(id)}, replay ($nd of ${sp.size})")
+    }
+    assert(spans.exists { case (id, _) => rows(id)._2 > 0 },
+      "corpus should contain duplicated spans (near-dup clones)")
+  }
+
+  it("x24 plants then redacts exactly one email and one phone per doc") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("x24_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)}: n_email=${r.getInt(1)}")
+      assert(r.getInt(2) == 1, s"doc ${r.getLong(0)}: n_phone=${r.getInt(2)}")
+      assert(r.getString(3).matches("[0-9a-f]{32}"))
+    }
+    // the digest is of the REDACTED text: two docs with identical text
+    // but different doc_ids still scrub to different digests only via
+    // the planted suffix — redaction itself must remove the raw values
+    import org.apache.spark.sql.functions._
+    val raw = T.documents(spark, sf).select(
+      md5(concat(col("text"), lit(" contact uid"), col("doc_id"),
+        lit("@mail.example or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .as("m")).collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(!raw.contains(r.getString(3)),
+      "scrubbed digest equals unscrubbed digest — redaction did not fire"))
+  }
+
+  it("x25 per-source quantiles are ordered and within observed range") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("x25_quality_quantiles")(spark, sf)
+      .collect()
+    assert(rows.length > 1, "needs multiple sources")
+    import org.apache.spark.sql.functions._
+    val (lo, hi) = {
+      val r = T.documents(spark, sf)
+        .select(size(split(trim(col("text")), "\\s+")).as("nt"))
+        .agg(min("nt"), max("nt")).head
+      (r.getInt(0).toDouble, r.getInt(1).toDouble)
+    }
+    rows.foreach { r =>
+      val (p10, p50, p90) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p10 <= p50 && p50 <= p90, s"${r.getString(0)}: $p10 $p50 $p90")
+      assert(p10 >= lo && p90 <= hi)
+    }
+    // the scale path: approx_percentile at 1e-4 error lands within one
+    // token of exact on every source (plan shape identical)
+    val approx = T.documents(spark, sf)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).as("nt"))
+      .groupBy("source")
+      .agg(expr("approx_percentile(nt, array(0.1D, 0.5D, 0.9D), 10000)")
+        .as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { r =>
+      val q = approx(r.getString(0))
+      assert(math.abs(q(1) - r.getDouble(3)) <= 1.0,
+        s"${r.getString(0)}: approx p50 ${q(1)} vs exact ${r.getDouble(3)}")
+    }
+  }
+
+  it("x26 semantic components cover the x11 pairs with min-id labels") {
+    val sf = "/root/testdata/sf0.001"
+    val comp = graft.SparkEntry.queries("x26_semantic_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(comp.nonEmpty, "no semantic near-dup pairs at this threshold")
+    val label = comp.map(c => c._1 -> c._2).toMap
+    // keep flag marks exactly the canonical (minimum) member
+    comp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.map(_._1).min == lbl,
+        s"component $lbl is not labeled by its min member")
+      assert(members.count(_._3 == 1) == 1 &&
+        members.find(_._3 == 1).get._1 == lbl)
+    }
+    // both endpoints of every x11 pair land in the same component
+    val pairs = graft.SparkEntry.queries("x11_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across components")
+    }
+  }
+
+  it("x27 oov rate isolates the sub-1%-mass tail of the vocabulary") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("x27_oov_rate")(spark, sf).collect()
+    val nDocs = T.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (n, nOov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nOov <= n)
+      assert(math.abs(rate - nOov.toDouble / n) < 1e-6)
+    }
+    // cross-check against a driver-side replay of the 1%-mass rule
+    import org.apache.spark.sql.functions._
+    val freq = T.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = freq.map(_._2).sum
+    val oovWords = freq.filter(_._2 * 100 < total).map(_._1).toSet
+    val expectOov = T.documents(spark, sf)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, ts) => id -> ts.count(r => oovWords(r.getString(1))).toLong }
+    rows.foreach(r => assert(r.getLong(2) == expectOov(r.getLong(0)),
+      s"doc ${r.getLong(0)}: n_oov ${r.getLong(2)} != ${expectOov(r.getLong(0))}"))
   }
 }
