@@ -248,42 +248,26 @@ object TextOps {
     verifiedPairsCache.clearForTest()
   }
 
-  /** Base for the Horner span-hash fold (any value < MinhashP works;
-    * both engines reproduce the identical arithmetic). */
-  private val SpanB = 1000003L
-
-  /** Word-`n`-gram span hashes derived ARITHMETICALLY from per-token
-    * hashes: span(i) = Horner fold of (tokHash[i..i+n-1]) base [[SpanB]]
-    * mod p. Hashing each span STRING costs n string builds + an
-    * O(chars) hash per span (measured 20 s to build the sf0.1 frame on
-    * one input split); hashing each token once and folding costs n
-    * multiply-adds per span (~0.3 s). Same trick as the Carter–Wegman
-    * MinHash permutations: one real hash, arithmetic derivation.
-    * ANSI-safe: acc < p ≈ 2³⁰, acc·B ≈ 2⁵⁰ < Long.Max. Short docs
-    * (< n tokens) fold the whole token-hash list — the image of the
-    * whole-text fallback in [[shingles]]. */
-  def spanHashes(tokHashes: Column, n: Int): Column =
-    when(size(tokHashes) < n,
-      array(aggregate(tokHashes, lit(0L),
-        (acc, h) => pmod(acc * SpanB + h, lit(MinhashP)))))
-      .otherwise(transform(sequence(lit(1), size(tokHashes) - (n - 1)),
-        i => (0 until n).foldLeft(lit(0L)) {
-          (acc, j) => pmod(acc * SpanB + element_at(tokHashes, i + j),
-            lit(MinhashP))
-        }))
+  /** Base for the Horner span-hash fold (shared with the DuckDB
+    * oracle CTEs). */
+  private val SpanB = graft.functions.SpanHash.B
 
   /** Per-(dataset, width) persisted exploded span-hash frame
-    * `(doc_id, h)` — per-doc DISTINCT word-n-gram hashes. Both sides of
-    * x23's dup-count join read this one frame; without the barrier the
-    * optimizer inlines the tokenize+hash chain into each side's scan
-    * AND its explode-pruning filter (6 evaluations of the chain per
-    * document instead of 1). */
+    * `(doc_id, h)` — per-doc DISTINCT word-n-gram hashes, derived
+    * ARITHMETICALLY from per-token hashes by the native codegen'd
+    * [[graft.functions.SpanHash]] Horner fold (one real hash per
+    * token, n multiply-adds per span — the Carter–Wegman trick again;
+    * hashing span STRINGS costs n string builds + an O(chars) hash
+    * per span, and the HOF formulation re-hashed every token n times
+    * per span interpreted — see SpanHash's scaladoc for the measured
+    * cliff). Both sides of x23's dup-count join read this one frame. */
   def cachedSpanHashes(spark: SparkSession, d: String, n: Int): DataFrame =
     spanHashCache.getOrElseUpdate(s"$d|$n", {
       T.documents(spark, d)
         .select(col("doc_id"), shingleHashes(tokens(col("text"))).as("ht"))
         .select(col("doc_id"),
-          array_distinct(spanHashes(col("ht"), n)).as("hs"))
+          array_distinct(graft.functions.SpanHash.spanHash(col("ht"), n))
+            .as("hs"))
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })

@@ -120,6 +120,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("SpanHash native expression") {
+    it("matches the Scala reference windows on the documents corpus") {
+      val ht = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          transform(split(trim(col("text")), "\\s+"),
+            t => pmod(PolyHash64.polyhash64(t), lit(1000000007L))).as("ht"))
+      val got = ht.select(col("doc_id"),
+          SpanHash.spanHash(col("ht"), 10).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ref = ht.collect().map(r =>
+        r.getLong(0) -> SpanHash.spans(r.getSeq[Long](1).toArray, 10).toSeq)
+      ref.foreach { case (id, want) => assert(got(id) == want, s"doc $id") }
+      assert(ref.exists(_._2.length > 1), "corpus should yield real windows")
+    }
+
+    it("survives codegen on edge widths (short docs, n=1, single token)") {
+      import spark.implicits._
+      val inputs: Seq[Seq[Long]] = Seq(Seq(7L), Seq(1L, 2L, 3L), Seq(5L, 6L))
+      for (n <- Seq(1, 2, 3, 10)) {
+        val got = inputs.toDF("ht")
+          .select(SpanHash.spanHash(col("ht"), n).as("hs"))
+          .collect().map(_.getSeq[Long](0).toSeq)
+        val want = inputs.map(h => SpanHash.spans(h.toArray, n).toSeq)
+        assert(got.toSeq == want, s"n=$n")
+      }
+    }
+  }
+
   describe("PolyHash64 native expression") {
     it("matches the Scala reference fold on the documents corpus") {
       val docs = spark.read
