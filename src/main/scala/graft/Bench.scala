@@ -29,7 +29,8 @@ object Bench {
       // the build. Touch one sharer of each frame untimed; the timed
       // run then measures every query's steady-state latency.
       Seq("x6_minhash_dedup", "x8_ngram_jaccard", "x13_simhash_neardup",
-          "x23_dup_spans", "x11_embed_neardup", "y5_ivf_ann", "y6_pq_ann")
+          "x23_dup_spans", "x11_embed_neardup", "y4_lsh_ann",
+          "y5_ivf_ann", "y6_pq_ann")
         .foreach(n => SparkEntry.queries.get(n)
           .foreach(f => f(spark, sfDir).count()))
     } catch { case _: Throwable => }

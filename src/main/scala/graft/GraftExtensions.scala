@@ -3,20 +3,42 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, PolyHash64, SimHash64, SpanHash}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions into every session built with
   * `spark.sql.extensions=graft.GraftExtensions` — the standard plug-in
   * path for clusters where sessions are built by the platform, not the
   * application (no per-session register() calls needed).
+  *
+  * Injected SQL surface (the expressions whose parameters are
+  * SQL-expressible; LshSignBits / PqEncode carry plan-time literal
+  * plane/codebook matrices and are constructed via their Column APIs):
+  *   - `graft_cosine(array<float|double>, array<float|double>)`
+  *   - `graft_polyhash64(string)` — portable 64-bit string hash
+  *   - `graft_simhash64(array<bigint>)` — 64-bit SimHash fingerprint
+  *   - `graft_span_hash(array<bigint>, n)` — width-n Horner span hashes
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+    def inject(name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+
+    inject("graft_cosine", classOf[CosineSimilarity],
+      children => CosineSimilarity(children(0), children(1)))
+    inject("graft_polyhash64", classOf[PolyHash64],
+      children => PolyHash64(children.head))
+    inject("graft_simhash64", classOf[SimHash64],
+      children => SimHash64(children.head))
+    inject("graft_span_hash", classOf[SpanHash], { children =>
+      require(children.length == 2 && children(1).foldable,
+        "graft_span_hash(token_hashes, n): n must be a literal integer")
+      SpanHash(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
+    })
   }
 }
