@@ -37,8 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_span_hash", classOf[SpanHash], { children =>
       require(children.length == 2 && children(1).foldable,
         "graft_span_hash(token_hashes, n): n must be a literal integer")
-      SpanHash(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())
+      // a NULL or non-integral literal must fail analysis with a clear
+      // message, not an NPE/ClassCastException from a blind cast
+      val n = children(1).eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+        case s: java.lang.Short => s.intValue()
+        case b: java.lang.Byte => b.intValue()
+        case bad => throw new IllegalArgumentException(
+          "graft_span_hash(token_hashes, n): n must be a non-null integer " +
+            s"literal, got ${if (bad == null) "NULL" else bad.toString}: " +
+            children(1).dataType.simpleString)
+      }
+      SpanHash(children(0), n)
     })
   }
 }

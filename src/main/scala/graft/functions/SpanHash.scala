@@ -26,6 +26,13 @@ import org.apache.spark.sql.types._
   * a second. Arithmetic is ANSI-safe by range: acc < p ≈ 2³⁰,
   * acc·B + h < 2⁵¹. DuckDB reproduces it exactly (list_reduce Horner
   * folds over list_slice windows — TextOps.spanHornerCtes).
+  *
+  * Input contract: token hashes are expected in [0, p) (PolyHash64
+  * already reduces mod p). Because `graft_span_hash` is a PUBLIC SQL
+  * function accepting any array<bigint>, inputs are defensively reduced
+  * with floorMod(h, p) — a no-op (bit-identical output) for in-range
+  * values, and it keeps the overflow-safety invariant instead of
+  * silently overflowing on negative/large out-of-range hashes.
   */
 case class SpanHash(child: Expression, n: Int) extends UnaryExpression {
 
@@ -45,17 +52,18 @@ case class SpanHash(child: Expression, n: Int) extends UnaryExpression {
     val len = ht.numElements()
     val nSpans = math.max(1, len - n + 1)
     val out = new Array[Long](nSpans)
+    def h(k: Int): Long = java.lang.Math.floorMod(ht.getLong(k), SpanHash.P)
     if (len < n) {
       var acc = 0L
       var j = 0
-      while (j < len) { acc = (acc * SpanHash.B + ht.getLong(j)) % SpanHash.P; j += 1 }
+      while (j < len) { acc = (acc * SpanHash.B + h(j)) % SpanHash.P; j += 1 }
       out(0) = acc
     } else {
       var i = 0
       while (i < nSpans) {
         var acc = 0L
         var j = 0
-        while (j < n) { acc = (acc * SpanHash.B + ht.getLong(i + j)) % SpanHash.P; j += 1 }
+        while (j < n) { acc = (acc * SpanHash.B + h(i + j)) % SpanHash.P; j += 1 }
         out(i) = acc
         i += 1
       }
@@ -79,14 +87,16 @@ case class SpanHash(child: Expression, n: Int) extends UnaryExpression {
         if ($len < $n) {
           long $acc = 0L;
           for (int $j = 0; $j < $len; $j++) {
-            $acc = ($acc * ${SpanHash.B}L + $a.getLong($j)) % ${SpanHash.P}L;
+            $acc = ($acc * ${SpanHash.B}L +
+              java.lang.Math.floorMod($a.getLong($j), ${SpanHash.P}L)) % ${SpanHash.P}L;
           }
           $out[0] = $acc;
         } else {
           for (int $i = 0; $i < $nSpans; $i++) {
             long $acc = 0L;
             for (int $j = 0; $j < $n; $j++) {
-              $acc = ($acc * ${SpanHash.B}L + $a.getLong($i + $j)) % ${SpanHash.P}L;
+              $acc = ($acc * ${SpanHash.B}L +
+                java.lang.Math.floorMod($a.getLong($i + $j), ${SpanHash.P}L)) % ${SpanHash.P}L;
             }
             $out[$i] = $acc;
           }
@@ -106,10 +116,12 @@ object SpanHash {
   /** MinHash prime p = 1e9 + 7 — token hashes are already mod p. */
   val P: Long = 1000000007L
 
-  /** Reference implementation (specs). */
+  /** Reference implementation (specs). Mirrors the expression exactly,
+    * including the defensive floorMod input reduction. */
   def spans(ht: Array[Long], n: Int): Array[Long] = {
-    if (ht.length < n) Array(ht.foldLeft(0L)((a, h) => (a * B + h) % P))
-    else ht.sliding(n).map(_.foldLeft(0L)((a, h) => (a * B + h) % P)).toArray
+    def step(a: Long, h: Long) = (a * B + java.lang.Math.floorMod(h, P)) % P
+    if (ht.length < n) Array(ht.foldLeft(0L)(step))
+    else ht.sliding(n).map(_.foldLeft(0L)(step)).toArray
   }
 
   /** Column API wrapper (Spark 4 column-node bridge). */

@@ -403,9 +403,18 @@ object TextOps {
     // 8 pointer-jump rounds, vs ~50 ms collected). Above the gate the
     // O(log n) distributed loop below is the path — same labels either
     // way (spec-asserted), so callers never see the switch.
+    // The fast-path gate must reflect what the collect actually costs on
+    // the DRIVER heap, not the 16 B/edge on-disk size: collected
+    // (Long, Long) tuples box both longs (~72 B/edge) and the union-find
+    // parent map adds ~64 B/entry — budget ~200 B/edge and cap at 1/8 of
+    // the driver heap, so the gate scales with spark.driver.memory
+    // instead of assuming an 8 GiB driver.
+    val heapGate = Runtime.getRuntime.maxMemory / 8 / 200
     val nEdges = e0.count()
-    if (nEdges <= driverMaxEdges) {
-      val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (nEdges <= math.min(driverMaxEdges, heapGate)) {
+      import edges.sparkSession.implicits._
+      // typed collect: primitive-friendly encoder path, no Row boxing
+      val pairs = e0.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -422,7 +431,6 @@ object TextOps {
       // label every member by the component MINIMUM (union order above
       // already parents larger roots under smaller, so find() is min)
       val labeled = parent.keysIterator.map(v => (v, find(v))).toSeq
-      import edges.sparkSession.implicits._
       return labeled.toDF("doc_id", "component")
     }
     val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -461,6 +469,31 @@ object TextOps {
       rounds += 1
     }
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
+  }
+
+  /** Sequence packing (x22's engine, reusable): assign each doc a shard
+    * id from the per-source running token total DIV `shardTokens`, via
+    * the hierarchical two-level prefix sum described at the x22 QueryDef
+    * (per-4096-doc-bucket partial sums + a window over the 4096×-smaller
+    * bucket frame — never a per-source single-task window). Input:
+    * (source, doc_id, nt); output adds `shard`. */
+  def packShards(perDocIn: DataFrame, shardTokens: Int = 4096): DataFrame = {
+    val perDoc = perDocIn.withColumn("bkt", expr("doc_id DIV 4096"))
+    val boff = perDoc.groupBy("source", "bkt")
+      .agg(sum("nt").as("bsum"))
+      .withColumn("boff",
+        coalesce(sum("bsum").over(
+          Window.partitionBy("source").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "boff")
+    perDoc
+      .withColumn("isum",
+        coalesce(sum("nt").over(
+          Window.partitionBy("source", "bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(boff, Seq("source", "bkt"))
+      .select(col("source"), col("doc_id"), col("nt"),
+        expr(s"(boff + isum) DIV $shardTokens").as("shard"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1111,38 +1144,21 @@ object TextOps {
     // that ever becomes the bottleneck.
     QueryDef(
       "x22_token_pack",
-      (s, d) => {
-        val perDoc = T.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            size(tokens(col("text"))).as("nt"),
-            expr("doc_id DIV 4096").as("bkt"))
-        val boff = perDoc.groupBy("source", "bkt")
-          .agg(sum("nt").as("bsum"))
-          .withColumn("boff",
-            coalesce(sum("bsum").over(
-              Window.partitionBy("source").orderBy("bkt")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("source", "bkt", "boff")
-        perDoc
-          .withColumn("isum",
-            coalesce(sum("nt").over(
-              Window.partitionBy("source", "bkt").orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .join(boff, Seq("source", "bkt"))
-          .select(col("source"), col("doc_id"), col("nt"),
-            expr("(boff + isum) DIV 4096").as("shard"))
-          .orderBy("source", "doc_id")
-      },
+      (s, d) => packShards(
+          T.documents(s, d).select(col("source"), col("doc_id"),
+            size(tokens(col("text"))).as("nt")))
+        .orderBy("source", "doc_id"),
       // The oracle states the SPEC (one flat per-source running sum);
       // the Spark plan implements it hierarchically — same numbers.
       Some("""WITH perdoc AS (SELECT source, doc_id,
                        len(string_split_regex(trim(text), '\s+')) AS nt
                      FROM documents)
               SELECT source, doc_id, nt,
-                     coalesce(sum(nt) OVER (PARTITION BY source
+                     CAST(coalesce(sum(nt) OVER (PARTITION BY source
                          ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) // 4096 AS shard
+                                  AND 1 PRECEDING), 0) // 4096
+                       AS BIGINT) AS shard
               FROM perdoc ORDER BY source, doc_id""")),
 
     // Duplicated-span signal (Lee et al. 2022, "Deduplicating Training
@@ -1250,6 +1266,42 @@ object TextOps {
                      round(quantile_cont(nt, 0.9), 4) AS p90
               FROM nt GROUP BY source ORDER BY source""")),
 
+    // x25's 100 TB twin as a CONTRACT query (not just a documented swap):
+    // the same per-source quantile plan over the Greenwald-Khanna sketch
+    // (approx_percentile, ε = 1e-4) — bounded memory per group at any
+    // group size, where exact percentile buffers the group. Oracle:
+    // while ε·n < 1 the sketch's rank error is < 1 rank, i.e. it MUST
+    // return the exact 1-based ceil(p·n) order statistic — replayed in
+    // SQL as a row_number pick. (At sketch-sized groups the answer is
+    // approximate by design; the gate's group sizes pin the exact
+    // regime, the plan shape is identical at any scale.)
+    QueryDef(
+      "x28_quantile_sketch",
+      (s, d) => T.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("approx_percentile(nt, 0.1D, 10000)").as("p10"),
+          expr("approx_percentile(nt, 0.5D, 10000)").as("p50"),
+          expr("approx_percentile(nt, 0.9D, 10000)").as("p90"))
+        .orderBy("source"),
+      Some("""WITH nt AS (SELECT source,
+                       len(string_split_regex(trim(text), '\s+')) AS nt
+                     FROM documents),
+              r AS (SELECT source, nt,
+                      row_number() OVER (PARTITION BY source ORDER BY nt)
+                        AS rk,
+                      count(*) OVER (PARTITION BY source) AS n
+                    FROM nt)
+              SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                     max(CASE WHEN rk = greatest(1,
+                       CAST(ceil(0.1 * n) AS BIGINT)) THEN nt END) AS p10,
+                     max(CASE WHEN rk = greatest(1,
+                       CAST(ceil(0.5 * n) AS BIGINT)) THEN nt END) AS p50,
+                     max(CASE WHEN rk = greatest(1,
+                       CAST(ceil(0.9 * n) AS BIGINT)) THEN nt END) AS p90
+              FROM r GROUP BY source ORDER BY source""")),
+
     // Semantic-dedup DECISION table: connected components over the
     // x11 embedding near-dup pairs (same literal-plane LSH buckets +
     // cosine threshold), keep = canonical (minimum) member. x16 gives
@@ -1314,7 +1366,11 @@ object TextOps {
           .crossJoin(tot)
           .filter(col("n") * 100 >= col("total"))
           .select(col("t"), lit(1).as("iv"))
-        tok.join(vocab, Seq("t"), "left")
+        // explicit hint: the <=100-row bound is BY CONSTRUCTION (1%-mass
+        // filter), which static size estimation of an agg+filter subtree
+        // cannot see — without the hint a large corpus would estimate the
+        // vocab side over the broadcast threshold and fall back to SMJ.
+        tok.join(broadcast(vocab), Seq("t"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             sum(when(col("iv").isNull, 1).otherwise(0)).as("n_oov"))
