@@ -48,4 +48,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  /** [[oracleSql]] plus the dataset-dependent oracles (QueryDef.oracleGen):
+    * queries whose SQL embeds a fitted model's literals. Call AFTER the
+    * queries have run so each generator reuses the in-JVM cached model the
+    * results were computed with. A generator failure degrades that query
+    * to rows-only (entry omitted), never fails the dump. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ allDefs.flatMap(q => q.oracleGen.flatMap { g =>
+      try Some(q.name -> g(spark, sfDir).trim)
+      catch { case t: Throwable =>
+        System.err.println(s"[oracleGen] ${q.name} failed: $t"); None
+      }
+    })
 }

@@ -31,4 +31,13 @@ object Tables {
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** Dataset-dependent oracle: some queries' semantics are fixed only
+      * once a fitted model (IVF centroids, PQ codebooks) exists. The
+      * models are fit-once-per-dataset plan-time constants, so the
+      * generator inlines them as SQL literals — same recipe as y4's
+      * literal hyperplanes, just generated after the fit instead of at
+      * class load. Verify evaluates these with its (spark, sfDir) AFTER
+      * running the queries, so the literals come from the very model
+      * objects the query results used. */
+    oracleGen: Option[(SparkSession, String) => String] = None)

@@ -105,21 +105,26 @@ object SimilarityOps {
   def lshBucketFast(v: Column, nBits: Int, dims: Int, seed: Long): Column =
     graft.functions.LshSignBits.lsh_sign_bits(v, planeMatrix(nBits, dims, seed))
 
+  /** A double as a DuckDB DOUBLE literal: `Double.toString` round-trips
+    * exactly; the `e0` suffix forces DOUBLE parsing (a bare `0.234`
+    * literal would be DECIMAL and poison the arithmetic). */
+  private def dblSql(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** A matrix as a DuckDB 2-level DOUBLE list literal `m[row][col]`. */
+  private def matSql(m: Seq[Seq[Double]]): String =
+    m.map(_.map(dblSql).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   /** The SAME literal hyperplanes the plan embeds, as a DuckDB 3-level
     * list literal `planes[tab][bit][dim]` — what makes the ANN queries
     * fully oracle-checkable: the oracle needs no xxhash64, just the
-    * numbers. `Double.toString` round-trips exactly; the `e0` suffix
-    * forces DuckDB to parse DOUBLE (a bare `0.234` literal would be
-    * DECIMAL and poison the arithmetic). */
+    * numbers. */
   private def planeSqlLiteral(seeds: Seq[Long], maxBits: Int,
       dims: Int): String =
-    seeds.map { sd =>
-      planeMatrix(maxBits, dims, sd).map(row =>
-        row.map { v =>
-          val s = v.toString
-          if (s.contains("E") || s.contains("e")) s else s + "e0"
-        }.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    }.mkString("[", ", ", "]")
+    seeds.map(sd => matSql(planeMatrix(maxBits, dims, sd)))
+      .mkString("[", ", ", "]")
 
   /** Oracle CTE chain ending in `sig(vec_id, tab, bucket, embedding)` —
     * the DuckDB image of [[bucketedFrame]] over literal planes.
@@ -236,6 +241,171 @@ object SimilarityOps {
       .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
   }
 
+  /** The embeddings frame the IVF/PQ queries operate on: (vec_id,
+    * features: array<double>). Float→double casts are exact, so cosine /
+    * distance values match computations on the raw float column. */
+  private def featFrame(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("features"))
+
+  /** IVF coarse-quantizer geometry for dataset `d`: k = max(8, ⌈√n⌉)
+    * cells, centroids from the fit-once (warehouse-persisted) seeded
+    * KMeans model, as a plain matrix. The y5/y7 query bodies and their
+    * oracle generators share EXACTLY this — the centroid numbers in the
+    * oracle's literals are the numbers the plan embedded. */
+  def ivfCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    import graft.ml.Clustering
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("features"))
+    val n = cachedCount(s"emb:$d", e)
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val model = Clustering.kmeansModelCached(s"ivf:$d:$k", e, k = k,
+      seed = 42, maxIter = 5, persistPath =
+        Some(s"$warehouse/graft_ivf_${graft.etl.ScaleUtils.pathTag(d)}_k$k"))
+    model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
+  /** Per-row nearest-centroid cell over the plan-time centroid matrix:
+    * one fused codegen'd k·d loop (native [[graft.functions
+    * .NearestCentroid]], matrix via addReferenceObj — no row fan-out, no
+    * ML-internal distance shortcuts (norm-based bounds) in the query
+    * path, viable at √n cells for any corpus). The sequential per-cell
+    * fold is bit-identical to DuckDB's list_sum and ties break to the
+    * lowest cell — what makes the cell assignment oracle-replayable.
+    * FunctionsSpec pins bit-parity against the interpreted HOF
+    * formulation of the same argmin. */
+  def ivfCellExpr(features: Column, cents: Seq[Seq[Double]]): Column =
+    graft.functions.NearestCentroid.nearest_centroid(features, cents)
+
+  /** The HOF formulation of [[ivfCellExpr]] — interpreted (lambdas never
+    * enter codegen), kept as the reference implementation the native
+    * expression is spec-tested against. */
+  def ivfCellExprRef(features: Column, cents: Seq[Seq[Double]]): Column = {
+    val cl = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val d2s = transform(cl, c =>
+      aggregate(zip_with(features, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    (array_position(d2s, array_min(d2s)) - 1).cast("long")
+  }
+
+  /** Driver-side probe routing for a single query vector: the `nProbe`
+    * cells whose centroids are nearest (squared euclidean, sequential
+    * sum — the same fold the SQL replay uses), ties → lowest cell. */
+  def nearestCells(cents: Seq[Seq[Double]], q: Seq[Double],
+      nProbe: Int): Seq[Long] =
+    cents.zipWithIndex.map { case (c, i) =>
+      (i, c.indices.map(j => { val x = c(j) - q(j); x * x }).sum)
+    }.sortBy { case (i, d2) => (d2, i) }.take(nProbe).map(_._1.toLong)
+
+  /** DuckDB CTE `cells(nid, cell)`: every vector's argmin cell over the
+    * literal centroids — the SQL image of [[ivfCellExpr]]. Expects a
+    * 1-row CTE `cent(c)` holding the centroid matrix in scope. */
+  private def cellsCteSql(k: Int): String =
+    s"""dd AS (SELECT e.vec_id, t.cell,
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> (CAST(e.embedding[i] AS DOUBLE) - cent.c[t.cell + 1][i])
+       |             * (CAST(e.embedding[i] AS DOUBLE) - cent.c[t.cell + 1][i])))
+       |          AS d2
+       |      FROM embeddings e, range(0, $k) t(cell), cent),
+       |cells AS (SELECT vec_id AS nid, cell FROM dd
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY d2, cell) = 1)""".stripMargin
+
+  /** y5's oracle: the fitted √n centroids are plan-time constants once
+    * the fit-once model exists — inline them and replay cell assignment,
+    * 2-probe routing, and cosine top-3 entirely in SQL. */
+  private[operators] def ivfOracleSql(s: SparkSession, d: String): String = {
+    val cents = ivfCentroids(s, d)
+    s"""WITH cent AS (SELECT ${matSql(cents)} AS c),
+       |${cellsCteSql(cents.length)},
+       |probes AS (SELECT vec_id AS qid, cell FROM dd WHERE vec_id < 20
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY d2, cell) <= 2),
+       |cand AS (SELECT p.qid, c.nid FROM probes p JOIN cells c USING (cell)
+       |         WHERE p.qid <> c.nid),
+       |scored AS (SELECT cand.qid, cand.nid,
+       |             round(${cosineSql("ea.embedding", "eb.embedding")}, 4)
+       |               AS cos_sim
+       |           FROM cand
+       |           JOIN embeddings ea ON ea.vec_id = cand.qid
+       |           JOIN embeddings eb ON eb.vec_id = cand.nid)
+       |SELECT qid, nid, cos_sim FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |  ORDER BY cos_sim DESC, nid) <= 3
+       |ORDER BY qid, cos_sim DESC, nid""".stripMargin
+  }
+
+  /** DuckDB CTEs replaying [[graft.functions.PqEncode]] + ADC over
+    * literal codebooks `cb.b[j][c][i]` and a literal per-query distance
+    * table `cb.t[j][c]`: per (vector, subspace) the 16 squared distances
+    * (sequential folds), argmin via list_position(min) — first index on
+    * ties, exactly the expression's `d < bestD` — then the ADC sum in
+    * subspace order (list_sum's left fold = adcDistance's reduce). */
+  private def adcCtesSql(src: String, m: Int, k: Int, dsub: Int): String =
+    s"""dls AS (SELECT e.vec_id, j.j,
+       |          list_transform(range(0, $k), c ->
+       |            list_sum(list_transform(range(1, ${dsub + 1}), i ->
+       |              (CAST(e.embedding[j.j * $dsub + i] AS DOUBLE)
+       |                 - cb.b[j.j + 1][c + 1][i])
+       |            * (CAST(e.embedding[j.j * $dsub + i] AS DOUBLE)
+       |                 - cb.b[j.j + 1][c + 1][i])))) AS dl
+       |        FROM $src e, range(0, $m) j(j), cb),
+       |codes AS (SELECT vec_id, j,
+       |            list_position(dl, list_min(dl)) - 1 AS cj FROM dls),
+       |codev AS (SELECT vec_id, list(cj ORDER BY j) AS cjs
+       |          FROM codes GROUP BY vec_id),
+       |adc AS (SELECT v.vec_id,
+       |          round(list_sum(list_transform(range(0, $m),
+       |            j -> cb.t[j + 1][v.cjs[j + 1] + 1])), 6) AS adc_d2
+       |        FROM codev v, cb)""".stripMargin
+
+  /** Shared by the y6/y7 generators: the fitted PQ model and the query
+    * vector / ADC table for vec_id=0 — the same objects the query bodies
+    * used (fitCached memoizes per dataset within the JVM). */
+  private def pqParts(s: SparkSession, d: String) = {
+    import graft.ml.Pq
+    val model = Pq.fitCached(s"pq:$d",
+      featFrame(s, d).select(col("features")), dims = 64)
+    val q = T.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    (model, q, Pq.adcTable(q, model))
+  }
+
+  /** y6's oracle: literal codebooks + literal ADC table, full-corpus
+    * encode + ADC top-10 replayed in SQL. */
+  private[operators] def pqOracleSql(s: SparkSession, d: String): String = {
+    val (model, _, table) = pqParts(s, d)
+    val cbSql = model.codebooks.map(matSql).mkString("[", ", ", "]")
+    s"""WITH cb AS (SELECT $cbSql AS b, ${matSql(table)} AS t),
+       |${adcCtesSql("embeddings", model.m, model.codebooks.head.length,
+          model.dsub)}
+       |SELECT vec_id, adc_d2 FROM adc WHERE vec_id != 0
+       |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** y7's oracle: both literal models composed — cell-filter to the two
+    * probed cells (inlined, computed by the same [[nearestCells]] call
+    * the query body used), then PQ encode + ADC top-10. */
+  private[operators] def ivfPqOracleSql(s: SparkSession, d: String): String = {
+    val cents = ivfCentroids(s, d)
+    val (model, q, table) = pqParts(s, d)
+    val probed = nearestCells(cents, q, 2)
+    val cbSql = model.codebooks.map(matSql).mkString("[", ", ", "]")
+    s"""WITH cent AS (SELECT ${matSql(cents)} AS c),
+       |cb AS (SELECT $cbSql AS b, ${matSql(table)} AS t),
+       |${cellsCteSql(cents.length)},
+       |probe_corpus AS (SELECT e.* FROM embeddings e
+       |                 JOIN cells ON cells.nid = e.vec_id
+       |                 WHERE cells.cell IN (${probed.mkString(", ")})
+       |                   AND e.vec_id != 0),
+       |${adcCtesSql("probe_corpus", model.m, model.codebooks.head.length,
+          model.dsub)}
+       |SELECT vec_id, adc_d2 FROM adc
+       |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 against a single query vector (vec_id=0).
@@ -340,28 +510,18 @@ object SimilarityOps {
     QueryDef(
       "y5_ivf_ann",
       (s, d) => {
-        import graft.ml.Clustering
-        val e = T.embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            transform(col("embedding"), x => x.cast("double")).as("features"))
-        val n = cachedCount(s"emb:$d", e)
-        val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-        // few iterations suffice for bucketing quality; centroids persist
-        // to the warehouse so a fresh JVM loads instead of re-fitting
-        val warehouse = s.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        val model = Clustering.kmeansModelCached(s"ivf:$d:$k", e, k = k,
-          seed = 42, maxIter = 5, persistPath =
-            Some(s"$warehouse/graft_ivf_${graft.etl.ScaleUtils.pathTag(d)}_k$k"))
-        val cells = Clustering.predictWith(model, e)
-          .withColumnRenamed("pred", "cell")
-        val corpus = cells.select(col("vec_id").as("nid"),
-          col("features").as("ne"), col("cell"))
+        val e = featFrame(s, d)
+        // fit-once √n-cell quantizer (warehouse-persisted); the query
+        // path sees only the centroid MATRIX — cell assignment is the
+        // literal-argmin expression, probe routing a broadcast join.
+        val cents = ivfCentroids(s, d)
+        val corpus = e.select(col("vec_id").as("nid"),
+          col("features").as("ne"),
+          ivfCellExpr(col("features"), cents).as("cell"))
         // centroid routing table: k rows, broadcast — each query ranks
         // its distance to every centroid and keeps the 2 nearest cells
         val cdf = s.createDataFrame(
-            model.clusterCenters.toSeq.zipWithIndex
-              .map { case (c, i) => (i.toLong, c.toArray) })
+            cents.zipWithIndex.map { case (c, i) => (i.toLong, c) })
           .toDF("cell", "centroid")
         val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
         val probes = e.filter(col("vec_id") < 20)
@@ -384,7 +544,8 @@ object SimilarityOps {
           .select("qid", "nid", "cos_sim")
           .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
       },
-      None),
+      None,
+      oracleGen = Some(ivfOracleSql)),
 
     // The composed 100 TB index: IVF cell routing (y5's cached √n-cell
     // quantizer) + PQ codes (y6's cached codebooks). A query probes its
@@ -396,32 +557,15 @@ object SimilarityOps {
     QueryDef(
       "y7_ivfpq_ann",
       (s, d) => {
-        import graft.ml.{Clustering, Pq}
-        val e = T.embeddings(s, d)
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("features"))
-        val n = cachedCount(s"emb:$d", e)
-        val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-        val warehouse = s.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        val ivf = Clustering.kmeansModelCached(s"ivf:$d:$k",
-          T.embeddings(s, d).select(col("vec_id"), col("label"),
-            transform(col("embedding"), x => x.cast("double")).as("features")),
-          k = k, seed = 42, maxIter = 5, persistPath =
-            Some(s"$warehouse/graft_ivf_${graft.etl.ScaleUtils.pathTag(d)}_k$k"))
+        import graft.ml.Pq
+        val e = featFrame(s, d)
+        val cents = ivfCentroids(s, d)
         val pq = Pq.fitCached(s"pq:$d", e.select(col("features")), dims = 64)
         val q = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toSeq
         // probe the 2 nearest cells driver-side: k centroids, tiny
-        val probed = ivf.clusterCenters.zipWithIndex
-          .map { case (c, i) =>
-            val a = c.toArray
-            (i, a.indices.map(j => {
-              val x = a(j) - q(j); x * x
-            }).sum)
-          }
-          .sortBy { case (i, d2) => (d2, i) }.take(2).map(_._1.toLong)
+        val probed = nearestCells(cents, q, 2)
         val table = Pq.adcTable(q, pq)
-        Clustering.predictWith(ivf, e).withColumnRenamed("pred", "cell")
+        e.withColumn("cell", ivfCellExpr(col("features"), cents))
           .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"),
             Pq.encode(col("features"), pq).as("code"))
@@ -430,7 +574,8 @@ object SimilarityOps {
           .orderBy(col("adc_d2"), col("vec_id"))
           .limit(10)
       },
-      None),
+      None,
+      oracleGen = Some(ivfPqOracleSql)),
 
     // Product-quantization ANN (IVF-PQ's codebook half): vectors
     // compress to one packed BIGINT of m 4-bit codes; a query scans
@@ -456,7 +601,8 @@ object SimilarityOps {
             .orderBy(col("adc_d2"), col("vec_id"))
             .limit(10)
         },
-        None),
+        None,
+        oracleGen = Some(pqOracleSql)),
 
     // LSH-bucketed approximate neighbors: hyperplane sign bits → join
     // within buckets only (the 100 TB path: bucket join replaces the

@@ -120,6 +120,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("NearestCentroid native expression") {
+    it("matches the interpreted HOF argmin bit-for-bit on the corpus") {
+      import graft.operators.SimilarityOps
+      // a real (seeded, deterministic) centroid matrix over the real
+      // float corpus — covers float→double casts and near-tie geometry
+      val cents = SimilarityOps.ivfCentroids(spark, "/root/testdata/sf0.001")
+      val e = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("features"))
+      val mismatches = e.select(
+          SimilarityOps.ivfCellExpr(col("features"), cents).as("fast"),
+          SimilarityOps.ivfCellExprRef(col("features"), cents).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(mismatches == 0)
+    }
+
+    it("breaks exact distance ties toward the lowest centroid index") {
+      import spark.implicits._
+      val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 0.0))
+      // (1,0): exact tie between c0 and c1 -> lowest index 0
+      // (0.1,0): c2 at the origin is strictly nearest -> 2
+      val got = Seq(Seq(1.0, 0.0), Seq(0.1, 0.0)).toDF("v")
+        .select(NearestCentroid.nearest_centroid(col("v"), cents).as("c"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(0L, 2L))
+    }
+
+    it("pads missing trailing dims with 0.0 (PqEncode convention)") {
+      import spark.implicits._
+      val cents = Seq(Seq(0.0, 5.0), Seq(0.0, 0.1))
+      val got = Seq(Seq(0.0)).toDF("v")
+        .select(NearestCentroid.nearest_centroid(col("v"), cents).as("c"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L))
+    }
+  }
+
   describe("SpanHash native expression") {
     it("matches the Scala reference windows on the documents corpus") {
       val ht = spark.read
