@@ -34,9 +34,15 @@ object QualitySweep {
     val archs: Seq[(String, (Int, Int, Double) => graft.nn.ArchZoo.Arch)] =
       mode match {
         case "archs" => Seq(
+          // all 8 reference families (CNC_AE_model_selection.py and its 7
+          // sibling scripts) through the same search→retrain→recon→NB path
           ("CNC_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.cnc(a, b)),
+          ("X_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.xae(a, b)),
+          ("MM_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.mm(a, b)),
           ("JISAE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.jisae(a, b)),
           ("JISAE-O1", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO1(a, b, m)),
+          ("JISAE-O2", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO2(a, b, m)),
+          ("JISAE-O3", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO3(a, b, m)),
           ("MOCSS", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.mocss(a, b, m)))
         case _ => Seq(
           ("JISAE-O1", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO1(a, b, m)))

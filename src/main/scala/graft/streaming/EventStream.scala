@@ -125,6 +125,27 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** One instrumented windowed-stream run, splitting wall-clock into
+    * `start()` (source discovery, query planning, state-store init) vs
+    * `awaitTermination()` (batch execution), plus the per-batch
+    * `triggerExecution` durations Spark itself reports — the evidence for
+    * whether z4's cost is fixed startup overhead or data-volume work. */
+  def timeWindowedOnce(spark: SparkSession, sfDir: String,
+      queryName: String): (Long, Long, Seq[Long]) = {
+    val t0 = System.nanoTime()
+    val q = windowedCounts(spark, sfDir).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val t1 = System.nanoTime()
+    q.awaitTermination()
+    val t2 = System.nanoTime()
+    val batches = q.recentProgress.toSeq
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    ((t1 - t0) / 1000000, (t2 - t1) / 1000000, batches)
+  }
+
   /** Stream-stream interval join: purchases joined to same-user clicks
     * from the preceding `windowHours` (the streaming face of the z7
     * batch range join). Both sides carry watermarks, so join state is
