@@ -19,9 +19,10 @@ import org.apache.spark.sql.SparkSession
  * it fits BUDGET bytes. BenchLineSpec simulates the bounded tail capture.
  */
 object Bench {
-  /** Byte budget for the final line: 2000-byte tail window minus the sbt
-   * epilogue (~80 B) minus slack for a longer epilogue. */
-  private[graft] val Budget = 1800
+  /** Byte budget for the final line: 2000-byte tail window minus the
+   * measured 76-byte sbt epilogue ("[success] Total time: ...") minus
+   * ~54 B slack for a longer epilogue rendering. */
+  private[graft] val Budget = 1870
 
   private def f(v: Double, d: Int): String =
     s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)

@@ -201,6 +201,31 @@ object ExtensionOps {
         .select(col("window.start").as("ws"), col("event_type"), col("n"),
           round(col("total_value"), 4).as("total_value"))
         .orderBy("ws", "event_type"),
-      None)
+      None),
+
+    // APPEND-mode streaming — the unbounded-feed deployment shape: a
+    // window emits exactly once when the watermark (max event time − 2 h,
+    // tracked in whole milliseconds) passes its END, and its state is
+    // evicted. Real Structured Streaming executes; the OUTPUT is still
+    // deterministic relational semantics, so unlike z4 this one is fully
+    // DuckDB-oracled: the batch rollup restricted to closed windows
+    // (window end ≤ watermark — Spark evicts on `end <= wm`). The first
+    // oracled streaming query in the contract.
+    QueryDef(
+      "z8_stream_append",
+      (s, d) => EventStream.runWindowedAppendOnce(s, d,
+          queryName = s"graft_stream_ap_${graft.etl.ScaleUtils.pathTag(d)}")
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("ws", "event_type"),
+      Some("""WITH wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 7200000
+                       AS w_ms FROM events)
+              SELECT date_trunc('hour', ts) AS ws, event_type,
+                     count(*) AS n, round(sum(value), 4) AS total_value
+              FROM events, wm
+              GROUP BY 1, 2, wm.w_ms
+              HAVING epoch_ns(date_trunc('hour', ts)) // 1000000
+                       + 3600000 <= wm.w_ms
+              ORDER BY 1, 2"""))
   )
 }

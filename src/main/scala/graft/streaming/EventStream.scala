@@ -125,6 +125,24 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Append-mode windowed counts: a window emits exactly ONCE, when the
+    * watermark passes its end, and its state is then EVICTED — the
+    * unbounded-feed deployment shape (complete mode re-outputs and
+    * retains every window forever; see SCALE.md §z4). Over a finite
+    * AvailableNow run the trailing windows — those within the 2-hour
+    * watermark horizon of the max event time — remain open and
+    * unemitted, which is exactly the semantics the z8 oracle replays. */
+  def runWindowedAppendOnce(spark: SparkSession, sfDir: String,
+      queryName: String = "event_counts_append"): DataFrame = {
+    val q = windowedCounts(spark, sfDir).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** One instrumented windowed-stream run, splitting wall-clock into
     * `start()` (source discovery, query planning, state-store init) vs
     * `awaitTermination()` (batch execution), plus the per-batch

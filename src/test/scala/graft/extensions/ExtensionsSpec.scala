@@ -63,6 +63,30 @@ class ExtensionsSpec extends SparkSpec {
       assert(batch.except(streamed).count() == 0)
     }
 
+    it("append mode emits exactly the watermark-closed windows (z8)") {
+      val appended = EventStream.runWindowedAppendOnce(spark, sf, "t_append")
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"))
+      val batch = EventStream.readEvents(spark, sf)
+        .groupBy(window(col("ts"), "1 hour").as("window"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"))
+      // Spark's watermark is max event time (whole ms) - 2 h; append
+      // emits + evicts windows with end <= watermark, retaining the
+      // trailing horizon as open state
+      val wmMs = EventStream.readEvents(spark, sf)
+        .agg((max(unix_micros(col("ts"))) / 1000).cast("long").as("ms"))
+        .head().getLong(0) - 2 * 3600 * 1000
+      val closed = batch.filter(
+        (unix_micros(col("we")) / 1000).cast("long") <= wmMs)
+      assert(appended.count() > 0, "no closed windows emitted")
+      assert(appended.count() < batch.count(),
+        "trailing open windows must be withheld")
+      assert(appended.except(closed).count() == 0)
+      assert(closed.except(appended).count() == 0)
+    }
+
     it("streaming dedup-at-ingest equals batch distinct on the key") {
       val deduped = EventStream.runDedupOnce(spark, sf, "t_dedup")
         .select("user_id", "event_type", "ts")
