@@ -515,9 +515,13 @@ object SimilarityOps {
         // path sees only the centroid MATRIX — cell assignment is the
         // literal-argmin expression, probe routing a broadcast join.
         val cents = ivfCentroids(s, d)
-        val corpus = e.select(col("vec_id").as("nid"),
-          col("features").as("ne"),
-          ivfCellExpr(col("features"), cents).as("cell"))
+        // the corpus (at-scale) side stays on the RAW float column: the
+        // native expressions cast per-element (exactly), so skipping the
+        // transform() projection keeps the scan→argmin→join chain inside
+        // whole-stage codegen (HOF lambdas would break it)
+        val corpus = T.embeddings(s, d).select(col("vec_id").as("nid"),
+          col("embedding").as("ne"),
+          ivfCellExpr(col("embedding"), cents).as("cell"))
         // centroid routing table: k rows, broadcast — each query ranks
         // its distance to every centroid and keeps the 2 nearest cells
         val cdf = s.createDataFrame(
@@ -565,10 +569,14 @@ object SimilarityOps {
         // probe the 2 nearest cells driver-side: k centroids, tiny
         val probed = nearestCells(cents, q, 2)
         val table = Pq.adcTable(q, pq)
-        e.withColumn("cell", ivfCellExpr(col("features"), cents))
+        // raw float column end to end (exact per-element casts inside the
+        // native expressions): scan → argmin-filter → encode → ADC stays
+        // one whole-stage-codegen pipeline, no HOF cast projection
+        T.embeddings(s, d)
+          .withColumn("cell", ivfCellExpr(col("embedding"), cents))
           .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"),
-            Pq.encode(col("features"), pq).as("code"))
+            Pq.encode(col("embedding"), pq).as("code"))
           .select(col("vec_id"),
             round(Pq.adcDistance(col("code"), table), 6).as("adc_d2"))
           .orderBy(col("adc_d2"), col("vec_id"))

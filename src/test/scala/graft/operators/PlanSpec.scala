@@ -175,4 +175,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  it("y5_ivf_ann assigns cells via the native fused argmin, probes broadcast") {
+    // cell assignment must be the codegen'd NearestCentroid expression
+    // (no interpreted HOF lambdas, no MLlib transform stage in the query
+    // path); the k-row centroid routing table rides in as a broadcast
+    val p = planOf("y5_ivf_ann")
+    assert(p.toLowerCase.contains("nearestcentroid"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("ArrayTransform"), p)
+  }
+
+  it("y7_ivfpq_ann composes native cell-argmin with native PQ encode") {
+    val p = planOf("y7_ivfpq_ann")
+    assert(p.toLowerCase.contains("nearestcentroid"), p)
+    assert(p.toLowerCase.contains("pqencode"), p)
+  }
+
+  it("x28_quantile_sketch partial-aggregates the GK sketch map-side") {
+    // the sketch's whole point at 100 TB: per-group state is a bounded
+    // summary built map-side, merged once — not buffered raw values
+    val p = planOf("x28_quantile_sketch")
+    assert(p.contains("partial_approx_percentile"), p)
+  }
 }
