@@ -38,7 +38,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("metric").asText == "total")
     assert(node.get("value").asDouble > 0.0)
     assert(node.get("unit").asText == "sec")
-    assert(node.get("queries").size >= math.min(names.size, 40))
+    // the CURRENT query set must fit withOUT engaging the drop path —
+    // when a future query pushes past the budget this fails loudly,
+    // forcing a conscious re-size instead of silent dict truncation
+    assert(node.get("queries").size == names.size && node.get("dropped") == null,
+      s"query dict no longer fits the ${Bench.Budget} B budget whole " +
+        s"(${node.get("queries").size}/${names.size} kept) — shrink the " +
+        "rendering or re-measure the driver's tail window")
   }
 
   test("a parseable headline line survives a 2000-byte bounded tail capture") {
