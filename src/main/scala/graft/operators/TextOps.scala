@@ -122,10 +122,17 @@ object TextOps {
       .stripMargin
 
   private def minhashVerifiedCtes(k: Int, bands: Int,
+      threshold: Double): String =
+    s"""$shingleHashCtes,
+       |${minhashChainCtes(k, bands, threshold)}""".stripMargin
+
+  /** The signature→candidates→verify chain alone (expects `toks`/`hs`
+    * already in scope) — lets composite oracles (x29) share one
+    * shingle-hash chain across the minhash and contamination stages. */
+  private def minhashChainCtes(k: Int, bands: Int,
       threshold: Double): String = {
     val rows = k / bands
-    s"""$shingleHashCtes,
-       |sig AS (SELECT doc_id, list_transform(range(0, $k), i ->
+    s"""sig AS (SELECT doc_id, list_transform(range(0, $k), i ->
        |            list_min(list_transform(h, v ->
        |              (v * (2*i + 1) + i*7919 + 12345) % 1000000007))) AS sg
        |        FROM hs),
@@ -1391,6 +1398,69 @@ object TextOps {
                      round(CAST(sum(CASE WHEN vocab.t IS NOT NULL THEN 0 ELSE 1 END)
                                 AS DOUBLE) / count(*), 6) AS oov_rate
               FROM tok LEFT JOIN vocab ON tok.t = vocab.t
-              GROUP BY tok.doc_id ORDER BY tok.doc_id"""))
+              GROUP BY tok.doc_id ORDER BY tok.doc_id""")),
+
+    // The COMPOSED curation pipeline as one hash-verified contract
+    // query: x20 quality resample → x4 exact dedup (over survivors) →
+    // x16 near-dup components (drop non-canonical) → x17
+    // decontamination (threshold 0.5, benchmark split excluded) → x22
+    // packing. The oracle replays all five stages in one WITH RECURSIVE
+    // chain, sharing a single shingle-hash CTE between the minhash and
+    // contamination stages — the proof the operators COMPOSE, not just
+    // pass in isolation.
+    QueryDef(
+      "x29_curation_pipeline",
+      (s, d) => graft.pipeline.CurationPipeline.curate(s, d)
+        .orderBy("source", "doc_id"),
+      Some(s"""WITH RECURSIVE $shingleHashCtes,
+              |${minhashChainCtes(16, 4, 0.5)},
+              |bi AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              |       UNION ALL SELECT doc_b, doc_a FROM verified),
+              |reach(u, r) AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM bi)
+              |  UNION
+              |  SELECT bi.u, reach.r FROM bi JOIN reach ON bi.v = reach.u),
+              |noncanon AS (SELECT u AS doc_id FROM reach
+              |             GROUP BY u HAVING u <> min(r)),
+              |exd AS (SELECT doc_id, unnest(list_distinct(h)) AS hv FROM hs),
+              |bench AS (SELECT DISTINCT hv FROM exd WHERE doc_id % 20 = 0),
+              |contam AS (SELECT exd.doc_id FROM exd
+              |           LEFT JOIN bench ON exd.hv = bench.hv
+              |           WHERE exd.doc_id % 20 <> 0
+              |           GROUP BY exd.doc_id
+              |           HAVING CAST(sum(CASE WHEN bench.hv IS NOT NULL
+              |                     THEN 1 ELSE 0 END) AS DOUBLE)
+              |                  / count(*) > 0.5),
+              |qsr AS (SELECT doc_id,
+              |          round(CAST(len(list_filter(
+              |              regexp_split_to_array(trim(text), '\\s+'),
+              |              t -> t IN ('the','of','and','a','to','de',
+              |                         'la','le','und','el'))) AS DOUBLE)
+              |            / greatest(len(regexp_split_to_array(
+              |                trim(text), '\\s+')), 1), 6) AS sr
+              |        FROM documents),
+              |qual AS (SELECT doc_id FROM (
+              |           SELECT doc_id, CASE WHEN sr >= 0.08 THEN 'high'
+              |               WHEN sr >= 0.04 THEN 'mid' ELSE 'low' END
+              |             AS band FROM qsr)
+              |         WHERE ((doc_id * 2654435761 + 77) % 4294967296)
+              |               < CASE band WHEN 'high' THEN 1.0
+              |                 WHEN 'mid' THEN 0.5 ELSE 0.1 END
+              |                 * 4294967296),
+              |keepx AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+              |          JOIN qual USING (doc_id) GROUP BY md5(d.text)),
+              |surv AS (SELECT d.source, d.doc_id,
+              |           len(string_split_regex(trim(d.text), '\\s+')) AS nt
+              |         FROM documents d JOIN keepx USING (doc_id)
+              |         WHERE d.doc_id % 20 <> 0
+              |           AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
+              |           AND d.doc_id NOT IN (SELECT doc_id FROM contam))
+              |SELECT source, doc_id, nt,
+              |       CAST(coalesce(sum(nt) OVER (PARTITION BY source
+              |           ORDER BY doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING
+              |                    AND 1 PRECEDING), 0) // 4096
+              |         AS BIGINT) AS shard
+              |FROM surv ORDER BY source, doc_id""".stripMargin))
   )
 }

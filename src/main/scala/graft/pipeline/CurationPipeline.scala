@@ -39,15 +39,27 @@ object CurationPipeline {
     * 0.48 p90 3-gram contamination; 0.5 cuts the genuine-overlap tail
     * instead of the noise floor. */
   def run(spark: SparkSession, sfDir: String,
-      contamMax: Double = 0.5): (DataFrame, Seq[StageStat]) = {
+      contamMax: Double = 0.5): (DataFrame, Seq[StageStat]) =
+    build(spark, sfDir, contamMax, persist = true)
+
+  /** The pipeline as ONE composable query (no stats actions, no
+    * persists): the packed survivors frame — what the oracled
+    * `x29_curation_pipeline` contract query runs and DuckDB replays. */
+  def curate(spark: SparkSession, sfDir: String,
+      contamMax: Double = 0.5): DataFrame =
+    build(spark, sfDir, contamMax, persist = false)._1
+
+  private def build(spark: SparkSession, sfDir: String,
+      contamMax: Double, persist: Boolean): (DataFrame, Seq[StageStat]) = {
     val toks = split(trim(col("text")), "\\s+")
+    def mat(df: DataFrame): DataFrame =
+      if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
 
     // stage 0 — ingest: one scan computing the token counts every later
     // stage reuses (text is carried only as far as the md5 stage needs)
-    val docs0 = T.documents(spark, sfDir)
+    val docs0 = mat(T.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"),
-        size(toks).as("nt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        size(toks).as("nt")))
 
     def stat(name: String, df: DataFrame): StageStat = {
       val r = df.agg(count(lit(1)).as("n"),
@@ -70,16 +82,15 @@ object CurationPipeline {
           .when(col("band") === "mid", 0.5)
           .otherwise(0.1) * lit(4294967296.0))
       .select("doc_id", "source", "text", "nt")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qualityM = mat(quality)
 
     // stage 2 — exact dedup (the x4 rule): keep min doc_id per content
     // hash, over the quality survivors. One md5 shuffle.
-    val exact = quality
+    val exact = qualityM
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val d2 = quality.join(exact, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d2 = mat(qualityM.join(exact, Seq("doc_id"), "left_semi"))
 
     // stage 3 — near-dup canonicalization (the x16 components): corpus-
     // wide MinHash-verified pairs → connected components → drop every
@@ -89,8 +100,7 @@ object CurationPipeline {
         threshold = 0.5).select("doc_a", "doc_b"))
     val nonCanonical = comps.filter(col("doc_id") =!= col("component"))
       .select("doc_id")
-    val d3 = d2.join(nonCanonical, Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d3 = mat(d2.join(nonCanonical, Seq("doc_id"), "left_anti"))
 
     // stage 4 — decontamination (the x17 rule): drop the benchmark split
     // itself (doc_id % 20 = 0, the synthetic eval stand-in) and every
@@ -107,16 +117,16 @@ object CurationPipeline {
         / count(lit(1))).as("c"))
       .filter(col("c") > contamMax)
       .select("doc_id")
-    val d4 = d3.filter(col("doc_id") % 20 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d4 = mat(d3.filter(col("doc_id") % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti"))
 
     // stage 5 — sequence packing (the x22 prefix sum) over the survivors
     val packed = TextOps.packShards(d4.select("source", "doc_id", "nt"))
 
-    val stats = Seq(
+    // the per-stage counts are ACTIONS — only the reporting run pays them
+    val stats = if (!persist) Seq.empty else Seq(
       stat("0_ingest", docs0),
-      stat("1_quality_sample", quality),
+      stat("1_quality_sample", qualityM),
       stat("2_exact_dedup", d2),
       stat("3_neardup_canonical", d3),
       stat("4_decontaminated", d4))
