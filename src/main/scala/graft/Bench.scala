@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint. Contract: the LAST stdout line is one JSON object
- * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+ * `{"metric":"total","value":N,"unit":"sec","queries":{...},"failed":n,"sf":...}`.
  *
  * The driver captures only a bounded tail (measured: 2000 bytes) of the
  * COMBINED stdout+stderr stream, then parses the JSON line out of it. Five
@@ -16,7 +16,23 @@ import org.apache.spark.sql.SparkSession
  * shutdown WARN chatter (stderr, interleaved into the captured stream) can't
  * land after it; (3) the final line is budget-bounded — precision degrades
  * 2dp -> 1dp, then the fastest queries drop (with a "dropped" count) until
- * it fits BUDGET bytes. BenchLineSpec simulates the bounded tail capture.
+ * it fits BUDGET bytes; "value" stays the FULL total (sum over ALL queries,
+ * dropped ones included) in every degrade step. BenchLineSpec simulates the
+ * bounded tail capture.
+ *
+ * A query that throws during the timed pass is counted into `"failed"`
+ * (and logged to stderr) instead of silently recording a plausible-looking
+ * wall time — the correctness harness catches the breakage, but the bench
+ * line must not launder it. `"failed":0` is the healthy reading.
+ *
+ * Timing semantics: the timed pass runs AFTER a full untimed pre-pass, so
+ * numbers are steady-state latency. Queries backed by pay-once persisted
+ * fixtures (bucketed table j7; LSH signature/shingle/verified-pair frames
+ * shared by x6/x8/x13/x16/y4; fitted IVF/PQ models y5-y7) therefore
+ * measure cached-artifact reads plus the query's own work — deliberately:
+ * at 100 TB those artifacts are built once and amortized, and the
+ * steady-state number is the one that scales. Build costs are visible in
+ * the pre-pass wall-clock (stderr) and PLANS_r6.md.
  */
 object Bench {
   /** Byte budget for the final line: 2000-byte tail window minus the
@@ -27,31 +43,40 @@ object Bench {
   private def f(v: Double, d: Int): String =
     s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Render one bench line. `total` defaults to the sum over `results`;
+   * pass it explicitly when `results` is a kept subset (drop path) so the
+   * headline "value" keeps reporting the full-suite total. */
   private[graft] def renderLine(results: Seq[(String, Double)], sf: String,
-                                decimals: Int, extra: String = ""): String = {
+                                decimals: Int, extra: String = "",
+                                total: Double = Double.NaN): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, decimals) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$qs$extra,"sf":"$sf"}"""
+    val t = if (total.isNaN) results.map(_._2).sum else total
+    s"""{"metric":"total","value":${f(t, 3)},"unit":"sec","queries":$qs$extra,"sf":"$sf"}"""
   }
 
   /** Final-line renderer: guaranteed <= budget bytes (for any nonempty
-   * result set with sane names) so the head survives the tail window. */
+   * result set with sane names) so the head survives the tail window.
+   * `extra` (e.g. `,"failed":0`) is carried through every degrade step. */
   private[graft] def compactLine(results: Seq[(String, Double)], sf: String,
-                                 budget: Int = Budget): String = {
-    val two = renderLine(results, sf, 2)
+                                 budget: Int = Budget,
+                                 extra: String = ""): String = {
+    val fullTotal = results.map(_._2).sum
+    val two = renderLine(results, sf, 2, extra, fullTotal)
     if (two.length <= budget) return two
-    val one = renderLine(results, sf, 1)
+    val one = renderLine(results, sf, 1, extra, fullTotal)
     if (one.length <= budget) return one
     // Last resort: report the slowest queries that fit and say how many
     // fell off — a partial dict labeled as partial beats a clipped line.
+    // "value" stays the full-suite total regardless of drops.
     val bySlow = results.sortBy { case (_, v) => -v }
     var keep = bySlow
     var line = one
     while (line.length > budget && keep.nonEmpty) {
       keep = keep.dropRight(1)
       line = renderLine(keep, sf, 1,
-        extra = s""","dropped":${results.size - keep.size}""")
+        extra = s"""$extra,"dropped":${results.size - keep.size}""",
+        total = fullTotal)
     }
     line
   }
@@ -59,6 +84,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // canonical "sf" value in BOTH emitted lines: the directory basename
+    // (e.g. "sf0.1") — a full path in one line and a basename in the other
+    // would mis-key downstream consumers matching on sf.
+    val sfName = new java.io.File(sfDir).getName
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,14 +119,22 @@ object Bench {
     SparkEntry.queries.foreach { case (n, f) =>
       warm(n)(f(spark, sfDir).count())
     }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"bench $name FAILED: $t")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val full = renderLine(results, sfDir, 3)
+    val extraFailed = s""","failed":${failed.size}"""
+    val full = renderLine(results, sfName, 3, extraFailed)
     println(full)
+    if (failed.nonEmpty)
+      System.err.println(s"bench failures: ${failed.mkString(", ")}")
     // full-precision copy, independent of any stdout capture bound
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -107,7 +144,7 @@ object Bench {
     // which the driver interleaves into the same captured stream.
     spark.stop()
     System.out.flush()
-    println(compactLine(results, new java.io.File(sfDir).getName))
+    println(compactLine(results, sfName, extra = extraFailed))
     System.out.flush()
   }
 }

@@ -192,8 +192,12 @@ object ExtensionOps {
                    AND v.us > er.us - 21600000000
               GROUP BY 1 ORDER BY 1""")),
 
-    // True Structured Streaming execution (AvailableNow → memory sink),
-    // result must equal the batch rollup; rows-only by nature.
+    // True Structured Streaming execution (AvailableNow → memory sink).
+    // Fully oracled: complete-mode output over a finite AvailableNow run
+    // is the COMPLETE final result, which equals the z3 batch hour
+    // rollup keyed by window.start — so the oracle is z3's SQL with the
+    // window start aliased `ws` (1-hour tumbling windows start on the
+    // hour ⇔ date_trunc('hour', ts)).
     QueryDef(
       "z4_stream_windowed",
       (s, d) => EventStream.runWindowedOnce(s, d,
@@ -201,7 +205,9 @@ object ExtensionOps {
         .select(col("window.start").as("ws"), col("event_type"), col("n"),
           round(col("total_value"), 4).as("total_value"))
         .orderBy("ws", "event_type"),
-      None),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+                     count(*) AS n, round(sum(value), 4) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // APPEND-mode streaming — the unbounded-feed deployment shape: a
     // window emits exactly once when the watermark (max event time − 2 h,

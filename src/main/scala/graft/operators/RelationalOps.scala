@@ -225,6 +225,45 @@ object RelationalOps {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1, 2 ORDER BY custkey""")),
 
+    // J8: multi-source JDBC roundtrip (north-star "JDBC reads/writes"):
+    // `customer` is loaded ONCE per dataset per JVM into embedded Derby
+    // (sources/Jdbc.ensureTable — pay-once, steady state is write-free),
+    // read back as a PARTITIONED JDBC scan (one cursor per c_custkey
+    // range slice — the shape that parallelizes across executors against
+    // a real warehouse), filtered WITH PUSHDOWN into the remote WHERE
+    // clause (PlanSpec guards `PushedFilters` on the JDBC scan), then
+    // joined against the parquet `orders` fact — a genuine two-source
+    // plan. Oracle: plain SQL over the same rows (the roundtrip must be
+    // value-faithful, so parquet-sourced SQL is the same relation).
+    QueryDef(
+      "j8_jdbc_roundtrip",
+      (s, d) => {
+        import graft.etl.ScaleUtils
+        import graft.sources.Jdbc
+        val tag = ScaleUtils.pathTag(d)
+        val c = T.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val (url, lo, hi) = Jdbc.ensureTable(c,
+          s"${sys.props("java.io.tmpdir")}/graft_derby_$tag",
+          "graft_customer", "c_custkey")
+        val cust = Jdbc.read(s, url, "graft_customer", "c_custkey",
+            lo, hi, numPartitions = 8)
+          .filter(col("c_acctbal") > 0)
+          .select("c_custkey", "c_mktsegment")
+        T.orders(s, d)
+          .select(col("o_custkey"), col("o_totalprice"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_acctbal > 0
+              GROUP BY 1 ORDER BY 1""")),
+
     // ---- §2.4 deterministic splits (SP1/SP2 via W1/W2) ------------------
     // SP1: stratified 80/20 split, exact per-class counts, seeded
     // (TCGA_Auxiliary/Data_prep.py:16-58). Window over a seeded hash order:

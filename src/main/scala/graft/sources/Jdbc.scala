@@ -45,4 +45,28 @@ object Jdbc {
       .option("url", url).option("dbtable", table)
       .option("driver", driver)
       .load()
+
+  // Pay-once per (JVM, db, table): bounds of the partition column, cached
+  // after the one-time Derby load so the steady-state query is write-free
+  // (mirrors ScaleUtils.bucketedPair's pay-the-layout-once semantics).
+  private val loaded = scala.collection.mutable.Map.empty[String, (Long, Long)]
+
+  /** Ensure `df` is materialized as `table` in the Derby db at `dbDir`
+    * (written once per JVM per db/table), and return (url, lower, upper)
+    * bounds of `partitionCol` for a parallel partitioned read back. */
+  def ensureTable(df: DataFrame, dbDir: String, table: String,
+      partitionCol: String): (String, Long, Long) = {
+    val url = derbyUrl(dbDir)
+    val key = s"$dbDir#$table"
+    val (lo, hi) = this.synchronized {
+      loaded.getOrElseUpdate(key, {
+        write(df, url, table)
+        // scalar min/max: a sanctioned driver finish (2 longs)
+        val r = df.agg(org.apache.spark.sql.functions.min(partitionCol),
+          org.apache.spark.sql.functions.max(partitionCol)).head()
+        (r.getLong(0), r.getLong(1))
+      })
+    }
+    (url, lo, hi)
+  }
 }

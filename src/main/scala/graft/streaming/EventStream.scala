@@ -60,25 +60,51 @@ object EventStream {
       duration_ms: Long, closed: Boolean)
 
   /** Per-user sessionization with a gap timeout (custom state —
-    * KeyValueGroupedDataset.mapGroupsWithState). */
+    * KeyValueGroupedDataset.mapGroupsWithState).
+    *
+    * State is EVICTED by event time: each update arms an
+    * `EventTimeTimeout` at `last + gapMs`; when the watermark passes it
+    * with no new events, the group fires once more (`hasTimedOut`), the
+    * closed session is emitted, and `state.remove()` drops the per-user
+    * entry — so on an unbounded feed state size tracks ACTIVE users, not
+    * all users ever seen (the NoTimeout formulation leaked state
+    * forever). Streaming callers must set `withWatermark` on `ts`.
+    * Batch execution has no timeouts by definition (every group is seen
+    * exactly once), so the arm-timeout call degrades to a no-op there. */
   def sessionize(events: Dataset[SessionEvent],
       gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         case (uid, evs, state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(
-            SessionState(0, sorted.head.ts.getTime, sorted.head.ts.getTime))
-          var closed = false
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (t - st.last > gapMs) { closed = true; st = SessionState(0, t, t) }
-            st = st.copy(count = st.count + 1, last = t)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close + evict
+            val st = state.get
+            state.remove()
+            SessionOut(uid, st.count, st.last - st.start, closed = true)
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(
+              SessionState(0, sorted.head.ts.getTime, sorted.head.ts.getTime))
+            var closed = false
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (t - st.last > gapMs) { closed = true; st = SessionState(0, t, t) }
+              st = st.copy(count = st.count + 1, last = t)
+            }
+            state.update(st)
+            // arm eviction at session-gap expiry; Spark requires the
+            // timeout strictly above the current watermark, so clamp
+            // (a group whose gap already expired fires next batch).
+            // Batch execution: no watermark exists and timeouts cannot
+            // fire — fall through without arming.
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            try state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
+            catch { case _: UnsupportedOperationException => () }
+            SessionOut(uid, st.count, st.last - st.start, closed)
           }
-          state.update(st)
-          SessionOut(uid, st.count, st.last - st.start, closed)
       }
   }
 

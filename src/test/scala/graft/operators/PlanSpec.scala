@@ -192,6 +192,18 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("pqencode"), p)
   }
 
+  it("j8_jdbc_roundtrip pushes the filter into the JDBC scan and partitions it") {
+    // the acctbal predicate must reach the remote WHERE clause (one
+    // filtered cursor per range slice), not run as a post-scan Filter
+    // over a full-table pull; the parquet orders side joins by hash
+    val p = planOf("j8_jdbc_roundtrip")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(C_ACCTBAL,0.0)") ||
+      p.contains("GreaterThan(c_acctbal,0.0)"), p)
+    assert(p.contains("numPartitions=8"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   it("x28_quantile_sketch partial-aggregates the GK sketch map-side") {
     // the sketch's whole point at 100 TB: per-group state is a bounded
     // summary built map-side, merged once — not buffered raw values
