@@ -83,17 +83,55 @@ object OmicsReader {
 
   /** Samples-as-rows TSV (TCGA shape): header present, `idCol` holds the
     * sample id, every other column is one feature (file column order kept).
-    */
+    *
+    * Implementation is read-as-TEXT + ONE split per row, NOT a csv scan
+    * with one Spark column per feature. At the real TCGA width (20531
+    * genes + id = 20532 columns) the csv formulation fails twice over:
+    * univocity's default maxColumns (20480) rejects the file outright,
+    * and the 20k-child CreateArray projection blows past the JVM/JIT
+    * method limits — the generated class splits into thousands of
+    * `apply_0_NNNN` methods that run interpreted (measured round 7: the
+    * 1866×20531 ingest burned 25 CPU-minutes per task without
+    * finishing; the text+split plan ingests the same file in seconds
+    * and its plan size is O(1) in the width). Numeric TSV matrices
+    * never quote fields, so the raw split is exact. */
   def readSamplesAsRows(spark: SparkSession, path: String,
       idCol: String = "_c0", header: Boolean = true): OmicsMatrix = {
-    val raw = spark.read.option("sep", "\t").option("header", header).csv(path)
-    val featCols = raw.columns.filterNot(_ == idCol)
-    val data = raw.select(col(idCol).as("sample_id"),
-      array(featCols.map(c => col(c).cast("double")): _*).as("features"))
-    val names = raw.sparkSession.createDataFrame(
-      featCols.zipWithIndex.map { case (n, i) => (i, n) }
+    val lines = spark.read.text(path)
+    val firstLine = lines.head().getString(0)
+    val firstCells = firstLine.split("\t", -1)
+    val (names, idIdx, data0) =
+      if (header) {
+        // id column: a named header cell, or the pandas empty index
+        // cell (which a csv reader would surface as "_c0")
+        val i = firstCells.indexOf(idCol) match {
+          case -1 if idCol == "_c0" => 0
+          case -1 => throw new IllegalArgumentException(
+            s"id column '$idCol' not present in header")
+          case found => found
+        }
+        // drop every header line (multi-part files repeat it; data
+        // lines are numeric so they can never equal the header)
+        (firstCells, i, lines.filter(col("value") =!= lit(firstLine)))
+      } else {
+        val i = idCol.stripPrefix("_c").toInt
+        ((0 until firstCells.length).map(j => s"_c$j").toArray, i, lines)
+      }
+    val n = names.length
+    val parts = split(col("value"), "\t", -1)
+    val featSlice =
+      if (idIdx == 0) slice(parts, 2, n - 1)
+      else if (idIdx == n - 1) slice(parts, 1, n - 1)
+      else concat(slice(parts, 1, idIdx),
+        slice(parts, idIdx + 2, n - 1 - idIdx))
+    val data = data0.select(
+      element_at(parts, idIdx + 1).as("sample_id"),
+      transform(featSlice, s => s.cast("double")).as("features"))
+    val featNames = names.zipWithIndex.filter(_._2 != idIdx).map(_._1)
+    val nameDim = spark.createDataFrame(
+      featNames.toSeq.zipWithIndex.map { case (nm, i) => (i, nm) }
     ).toDF("feature_idx", "feature_name")
-    OmicsMatrix(data, names)
+    OmicsMatrix(data, nameDim)
   }
 
   /** S5 — whitespace-delimited numeric matrix (np.loadtxt semantics:

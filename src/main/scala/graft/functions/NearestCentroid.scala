@@ -56,9 +56,18 @@ case class NearestCentroid(child: Expression,
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** A vector whose length differs from the centroid dimension is a
+    * caller bug (mixed embedding tables, truncated parquet): silently
+    * zero-padding/truncating would diverge from the literal-replay
+    * oracle with no error — fail loudly instead (ADVICE r6). */
+  // public: invoked from generated code via addReferenceObj
+  def dimError(n: Int): String =
+    s"nearest_centroid: input vector has $n dims, centroids have $d"
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n != d) throw new IllegalArgumentException(dimError(n))
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
@@ -67,9 +76,7 @@ case class NearestCentroid(child: Expression,
       val off = c * d
       var i = 0
       while (i < d) {
-        val x = if (i < n) {
-          if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        } else 0.0
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         val diff = x - flat(off + i)
         dist += diff * diff
         i += 1
@@ -84,6 +91,8 @@ case class NearestCentroid(child: Expression,
       ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centroids", flat, "double[]")
     val getter = if (isFloat) "getFloat" else "getDouble"
+    val selfRef = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val best = ctx.freshName("best")
@@ -95,14 +104,16 @@ case class NearestCentroid(child: Expression,
       val diff = ctx.freshName("diff")
       s"""
         int $n = $a.numElements();
+        if ($n != $d) {
+          throw new IllegalArgumentException($selfRef.dimError($n));
+        }
         int $best = 0;
         double $bestD = Double.POSITIVE_INFINITY;
         for (int $c = 0; $c < $k; $c++) {
           double $dist = 0.0;
           int $off = $c * $d;
           for (int $i = 0; $i < $d; $i++) {
-            double $diff = ($i < $n ? (double) $a.$getter($i) : 0.0)
-              - $cRef[$off + $i];
+            double $diff = (double) $a.$getter($i) - $cRef[$off + $i];
             $dist += $diff * $diff;
           }
           if ($dist < $bestD) { $bestD = $dist; $best = $c; }

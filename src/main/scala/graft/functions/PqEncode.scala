@@ -63,9 +63,17 @@ case class PqEncode(child: Expression,
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** A vector whose length differs from m·dsub silently zero-padded /
+    * truncated would diverge from the codebook-literal oracle replay
+    * with no error — fail loudly (same contract as NearestCentroid).
+    * Public: invoked from generated code via addReferenceObj. */
+  def dimError(n: Int): String =
+    s"pq_encode: input vector has $n dims, codebooks cover ${m * dsub}"
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n != m * dsub) throw new IllegalArgumentException(dimError(n))
     var code = 0L
     var j = 0
     while (j < m) {
@@ -78,9 +86,7 @@ case class PqEncode(child: Expression,
         var i = 0
         while (i < dsub) {
           val idx = j * dsub + i
-          val x = if (idx < n) {
-            if (isFloat) arr.getFloat(idx).toDouble else arr.getDouble(idx)
-          } else 0.0
+          val x = if (isFloat) arr.getFloat(idx).toDouble else arr.getDouble(idx)
           val diff = x - flat(off + i)
           d += diff * diff
           i += 1
@@ -97,6 +103,8 @@ case class PqEncode(child: Expression,
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    val selfRef = ctx.addReferenceObj("pqEncode", this,
+      classOf[PqEncode].getName)
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
@@ -112,6 +120,9 @@ case class PqEncode(child: Expression,
       val diff = ctx.freshName("diff")
       s"""
         int $n = $a.numElements();
+        if ($n != ${m * dsub}) {
+          throw new IllegalArgumentException($selfRef.dimError($n));
+        }
         long $code = 0L;
         for (int $j = 0; $j < $m; $j++) {
           int $best = 0;
@@ -121,8 +132,7 @@ case class PqEncode(child: Expression,
             int $off = ($j * $k + $c) * $dsub;
             for (int $i = 0; $i < $dsub; $i++) {
               int $idx = $j * $dsub + $i;
-              double $diff = ($idx < $n ? (double) $a.$getter($idx) : 0.0)
-                - $cbRef[$off + $i];
+              double $diff = (double) $a.$getter($idx) - $cbRef[$off + $i];
               $d += $diff * $diff;
             }
             if ($d < $bestD) { $bestD = $d; $best = $c; }

@@ -145,14 +145,37 @@ object Trainer {
     * required. Exact mini-batch parity is what [[train]] provides; this
     * trades batch-order semantics for cluster throughput.
     */
+  /** Default per-slice byte bound for the chunked gradient reduction:
+    * 64 MiB of doubles. SURVEY §4.4 risk register: the hyperparameter
+    * search maximum is a ~45 M-param model, so a monolithic gradient is
+    * ~360 MB — and a treeReduce merge holds TWO operands plus the
+    * driver's final copy (~1 GB transient), hostile to an 8 GiB driver.
+    * 64 MiB slices bound every merge and the driver fetch to ~128 MiB
+    * regardless of model width; 45 M params reduce in 6 sequential
+    * slice jobs (latency traded for a hard memory ceiling). */
+  val DefaultGradSliceBytes: Long = 64L << 20
+
+  /** Slice count that keeps every in-flight gradient slice within
+    * `maxSliceBytes`: ceil(paramCount·8 / maxSliceBytes), min 1. */
+  def gradChunksFor(paramCount: Long,
+      maxSliceBytes: Long = DefaultGradSliceBytes): Int =
+    math.max(1L, (paramCount * 8 + maxSliceBytes - 1) / maxSliceBytes).toInt
+
   /** `gradChunks > 1` bounds the reduction/driver peak to
     * paramCount/gradChunks doubles: per-partition gradients are cached
     * once per epoch, then reduced slice by slice (the SURVEY §4.4
     * per-layer-aggregation mitigation for 45 M-param search maxima —
-    * sequential chunk jobs trade latency for bounded memory). */
+    * sequential chunk jobs trade latency for bounded memory).
+    * `gradChunks = 0` (the default) derives the count from
+    * [[gradChunksFor]] — small models reduce whole (1 chunk), wide
+    * search candidates are sliced automatically. */
   def trainSync(df: DataFrame, model: AeModel, cfg: Config,
       x1Col: String = "x1", x2Col: String = "x2",
-      treeDepth: Int = 2, gradChunks: Int = 1): Trained = {
+      treeDepth: Int = 2, gradChunks: Int = 0,
+      maxGradSliceBytes: Long = DefaultGradSliceBytes): Trained = {
+    val resolvedChunks =
+      if (gradChunks > 0) gradChunks
+      else gradChunksFor(model.paramCount, maxGradSliceBytes)
     val rdd = df.select(x1Col, x2Col).rdd
       .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
       .cache()
@@ -188,7 +211,7 @@ object Trainer {
       }
 
       val (aggLoss, aggStats, fullGrads) =
-        if (gradChunks <= 1) {
+        if (resolvedChunks <= 1) {
           val agg = partial.treeReduce({ (a, b) =>
             var i = 0
             while (i < a.grads.length) { a.grads(i) += b.grads(i); i += 1 }
@@ -205,8 +228,8 @@ object Trainer {
               r.batchStats.clone(), r.n))
             .treeReduce(mergeStats, treeDepth)
           val grads = new Array[Double](model.paramCount)
-          val chunkLen = (model.paramCount + gradChunks - 1) / gradChunks
-          for (c <- 0 until gradChunks) {
+          val chunkLen = (model.paramCount + resolvedChunks - 1) / resolvedChunks
+          for (c <- 0 until resolvedChunks) {
             val lo = c * chunkLen
             val hi = math.min(lo + chunkLen, model.paramCount)
             if (hi > lo) {

@@ -302,9 +302,9 @@ object SimilarityOps {
   /** DuckDB CTE `cells(nid, cell)`: every vector's argmin cell over the
     * literal centroids — the SQL image of [[ivfCellExpr]]. Expects a
     * 1-row CTE `cent(c)` holding the centroid matrix in scope. */
-  private def cellsCteSql(k: Int): String =
+  private def cellsCteSql(k: Int, d: Int): String =
     s"""dd AS (SELECT e.vec_id, t.cell,
-       |        list_sum(list_transform(range(1, 65),
+       |        list_sum(list_transform(range(1, ${d + 1}),
        |          i -> (CAST(e.embedding[i] AS DOUBLE) - cent.c[t.cell + 1][i])
        |             * (CAST(e.embedding[i] AS DOUBLE) - cent.c[t.cell + 1][i])))
        |          AS d2
@@ -319,7 +319,7 @@ object SimilarityOps {
   private[operators] def ivfOracleSql(s: SparkSession, d: String): String = {
     val cents = ivfCentroids(s, d)
     s"""WITH cent AS (SELECT ${matSql(cents)} AS c),
-       |${cellsCteSql(cents.length)},
+       |${cellsCteSql(cents.length, cents.head.length)},
        |probes AS (SELECT vec_id AS qid, cell FROM dd WHERE vec_id < 20
        |           QUALIFY row_number() OVER (PARTITION BY vec_id
        |             ORDER BY d2, cell) <= 2),
@@ -395,7 +395,7 @@ object SimilarityOps {
     val cbSql = model.codebooks.map(matSql).mkString("[", ", ", "]")
     s"""WITH cent AS (SELECT ${matSql(cents)} AS c),
        |cb AS (SELECT $cbSql AS b, ${matSql(table)} AS t),
-       |${cellsCteSql(cents.length)},
+       |${cellsCteSql(cents.length, cents.head.length)},
        |probe_corpus AS (SELECT e.* FROM embeddings e
        |                 JOIN cells ON cells.nid = e.vec_id
        |                 WHERE cells.cell IN (${probed.mkString(", ")})

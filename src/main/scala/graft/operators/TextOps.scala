@@ -306,8 +306,25 @@ object TextOps {
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
     minhashCandidatesFrom(hashedShingles(docs), k, bands)
 
-  /** LSH banding over a pre-hashed shingle frame `(doc_id, hs)`. */
-  def minhashCandidatesFrom(hashed: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** Default bucket-size cap for LSH banding. Web-scale corpora are
+    * boilerplate-heavy (templates, license headers, scraped nav chrome):
+    * m identical docs land in ONE (band, hash) bucket and the all-pairs
+    * self-join fans out O(m²) — the one quadratic hazard in the dedup
+    * path (SCALE.md). Buckets over the cap switch to a rank-chain
+    * (consecutive doc_id links, O(m) pairs): for the boilerplate case
+    * that triggers it — near-identical members — every chained pair
+    * verifies, so connected components (x5/x16 keep-one semantics) are
+    * unchanged; only a ~2⁻⁶⁴ band-hash collision between genuinely
+    * dissimilar docs could split a component vs all-pairs. 256 keeps
+    * every all-pairs bucket ≤ ~32k comparisons while being far above
+    * organic bucket sizes at the driver scales. */
+  val DefaultMaxBucket = 256
+
+  /** LSH banding over a pre-hashed shingle frame `(doc_id, hs)`.
+    * Buckets larger than `maxBucket` emit chain pairs instead of
+    * all-pairs — see [[DefaultMaxBucket]]. */
+  def minhashCandidatesFrom(hashed: DataFrame, k: Int, bands: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = k / bands
     // staged projections: hash once → k cheap permutations
     // (CollapseProject keeps the non-cheap `hs` from being inlined k×)
@@ -320,14 +337,26 @@ object TextOps {
               x => x.cast("string"))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+    // bucket size + in-bucket rank ride the SAME (band, band_hash) hash
+    // partitioning the candidate join needs — no extra shuffle
+    val w = Window.partitionBy("band", "band_hash")
+    val ranked = banded
+      .withColumn("rnk", row_number().over(w.orderBy("doc_id")))
+      .withColumn("bsz", count(lit(1)).over(w))
+    val small = ranked.filter(col("bsz") <= maxBucket)
+    val smallPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // oversized (boilerplate) buckets: consecutive-rank chain, O(m)
+    val big = ranked.filter(col("bsz") > maxBucket)
+    val bigPairs = big.as("a").join(big.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.rnk") + 1 === col("b.rnk"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    smallPairs.union(bigPairs).distinct()
   }
 
   private val simhashBandCache = new graft.etl.DfCache

@@ -97,6 +97,43 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  describe("OmicsReader.readSamplesAsRows (S2/S4, text+split formulation)") {
+    it("parses the TCGA header shape (pandas empty index cell = _c0)") {
+      val f = java.nio.file.Files.createTempFile("graft-s2", ".tsv")
+      java.nio.file.Files.writeString(f,
+        "\tgene_a\tgene_b\tgene_c\nS1\t0.1\t0.2\t0.3\nS2\t1.5\t2.5\t3.5\n")
+      val m = OmicsReader.readSamplesAsRows(spark, f.toString)
+      val rows = m.data.orderBy("sample_id").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("S1", "S2"))
+      assert(rows(0).getSeq[Double](1) == Seq(0.1, 0.2, 0.3))
+      assert(rows(1).getSeq[Double](1) == Seq(1.5, 2.5, 3.5))
+      assert(m.featureNames.orderBy("feature_idx").collect()
+        .map(_.getString(1)).toSeq == Seq("gene_a", "gene_b", "gene_c"))
+    }
+
+    it("honors a NAMED id column in any position") {
+      val f = java.nio.file.Files.createTempFile("graft-s2n", ".tsv")
+      java.nio.file.Files.writeString(f,
+        "g1\tsid\tg2\n0.5\tS9\t1.5\n2.0\tS8\t3.0\n")
+      val m = OmicsReader.readSamplesAsRows(spark, f.toString, idCol = "sid")
+      val rows = m.data.orderBy("sample_id").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("S8", "S9"))
+      assert(rows(0).getSeq[Double](1) == Seq(2.0, 3.0))
+      assert(m.featureNames.collect().map(_.getString(1)).toSet ==
+        Set("g1", "g2"))
+    }
+
+    it("parses headerless matrices by positional column convention (S4)") {
+      val f = java.nio.file.Files.createTempFile("graft-s4", ".tsv")
+      java.nio.file.Files.writeString(f, "S1\t7.5\t8.5\nS2\t9.0\t10.0\n")
+      val m = OmicsReader.readSamplesAsRows(spark, f.toString,
+        header = false)
+      val rows = m.data.orderBy("sample_id").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("S1", "S2"))
+      assert(rows(0).getSeq[Double](1) == Seq(7.5, 8.5))
+    }
+  }
+
   describe("OmicsReader.readWhitespaceMatrix (S5)") {
     it("parses np.loadtxt-style whitespace matrices with row order") {
       val f = java.nio.file.Files.createTempFile("graft-ws", ".txt")

@@ -148,13 +148,26 @@ class FunctionsSpec extends SparkSpec {
       assert(got == Seq(0L, 2L))
     }
 
-    it("pads missing trailing dims with 0.0 (PqEncode convention)") {
+    it("fails loudly on a vector/centroid dimension mismatch") {
+      // silently zero-padding short vectors (the old behavior) would
+      // diverge from the literal-replay oracle with no error — a mixed
+      // or truncated embedding table must be a hard failure (ADVICE r6)
       import spark.implicits._
       val cents = Seq(Seq(0.0, 5.0), Seq(0.0, 0.1))
-      val got = Seq(Seq(0.0)).toDF("v")
+      val err = intercept[Exception] {
+        Seq(Seq(0.0)).toDF("v")
+          .select(NearestCentroid.nearest_centroid(col("v"), cents).as("c"))
+          .collect()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+      assert(rootMsg(err).contains("1 dims, centroids have 2"), rootMsg(err))
+      // matching dims still evaluate
+      val ok = Seq(Seq(0.0, 0.2)).toDF("v")
         .select(NearestCentroid.nearest_centroid(col("v"), cents).as("c"))
         .collect().map(_.getLong(0)).toSeq
-      assert(got == Seq(1L))
+      assert(ok == Seq(1L))
     }
   }
 

@@ -117,6 +117,37 @@ class NnGraphSpec extends SparkSpec {
       assert(chunked.epochLosses.last < chunked.epochLosses.head)
     }
 
+    it("auto gradient slicing bounds in-flight bytes at the search maximum") {
+      // SURVEY §4.4: the random-search width maximum is ~45 M params —
+      // the slice rule must keep every reduction operand within the
+      // declared byte bound, for that width and any other
+      for (p <- Seq(1L, 1000L, 8_388_608L, 45_000_000L, 200_000_000L)) {
+        val chunks = Trainer.gradChunksFor(p)
+        val sliceLen = (p + chunks - 1) / chunks
+        assert(sliceLen * 8 <= Trainer.DefaultGradSliceBytes,
+          s"paramCount=$p: slice ${sliceLen * 8} B > bound")
+        // no over-slicing: one fewer chunk would break the bound
+        if (chunks > 1)
+          assert((p + chunks - 2) / (chunks - 1) * 8
+            > Trainer.DefaultGradSliceBytes, s"paramCount=$p over-sliced")
+      }
+      assert(Trainer.gradChunksFor(45_000_000L) == 6)
+      // a genuinely-wide layer driven through the AUTO path: a tiny
+      // slice budget forces many sequential slice reductions, and the
+      // result still matches the whole-gradient first epoch exactly
+      val wide = TwoViewAe.cncSized(6, 4, hidden = Seq(64), embed = 3)
+      val cfg = Trainer.Config(lr = 1e-2, weightDecay = 1e-6,
+        batchSize = 0, epochs = 2, seed = 21)
+      val model = Trainer.TwoViewModel(wide)
+      val budget = 1024L // bytes → 128 doubles per slice
+      assert(Trainer.gradChunksFor(model.paramCount, budget) > 5)
+      val sliced = Trainer.trainSync(data, model, cfg,
+        maxGradSliceBytes = budget)
+      val whole = Trainer.trainSync(data, model, cfg, gradChunks = 1)
+      assert(math.abs(sliced.epochLosses.head - whole.epochLosses.head)
+        < 1e-12)
+    }
+
     it("MOCSS graph model trains and embeds (spec1||spec2||avg shared)") {
       val arch = ArchZoo.mocss(6, 4, reconMultiplier = 0.7)
       val t = Trainer.train(data, arch.model,

@@ -306,4 +306,43 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) == expectOov(r.getLong(0)),
       s"doc ${r.getLong(0)}: n_oov ${r.getLong(2)} != ${expectOov(r.getLong(0))}"))
   }
+
+  it("bucket cap keeps boilerplate-skewed LSH banding sub-quadratic") {
+    // adversarial fixture (the SCALE.md hazard): 20% of the corpus is
+    // ONE identical boilerplate doc — all 60 copies land in the same
+    // (band, hash) bucket in every band, so uncapped all-pairs fans out
+    // O(m²) while the capped chain stays O(m)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val boiler = "this site uses cookies please accept our cookie " +
+      "policy terms of service privacy statement all rights reserved"
+    val docs = (0 until 300).map { i =>
+      if (i < 60) (i.toLong, boiler)
+      else (i.toLong, s"unique document $i talks about topic${i * 7} " +
+        s"and subject${i * 13} with detail${i * 29} plus extra${i * 31} " +
+        s"filler${i * 37} words${i * 41} here${i * 43}")
+    }.toDF("doc_id", "text")
+    val hashed = TextOps.hashedShingles(docs)
+    val quad = 60L * 59 / 2 // all-pairs within the boilerplate bucket
+    val uncapped = TextOps.minhashCandidatesFrom(hashed, k = 16, bands = 4,
+      maxBucket = Int.MaxValue).count()
+    assert(uncapped >= quad,
+      s"fixture broken: uncapped candidates $uncapped < quadratic $quad")
+    val capped = TextOps.minhashCandidatesFrom(hashed, k = 16, bands = 4,
+      maxBucket = 16).count()
+    // sub-quadratic: chain = m-1 pairs per band, distinct-folded; allow
+    // headroom for organic unique-doc collisions but stay far below m²/2
+    assert(capped < quad / 4,
+      s"capped candidates $capped did not de-quadratify (uncapped $uncapped)")
+    assert(capped >= 59, s"chain must keep the bucket connected: $capped")
+    // connectivity is preserved: the 60 boilerplate docs still form ONE
+    // dup component from the capped candidate set (keep-one semantics
+    // identical to all-pairs; only the pair inventory shrinks)
+    val comp = TextOps.connectedComponents(
+        TextOps.minhashCandidatesFrom(hashed, k = 16, bands = 4,
+          maxBucket = 16))
+      .filter(col("doc_id") < 60)
+    assert(comp.select("component").distinct().count() == 1,
+      "boilerplate docs split into multiple components under the cap")
+  }
 }
