@@ -209,6 +209,43 @@ object ExtensionOps {
                      count(*) AS n, round(sum(value), 4) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // STREAMING sessionization — the custom-state face of the streaming
+    // surface as a CONTRACT query: real mapGroupsWithState execution
+    // (update-mode memory sink, event-time timeout eviction armed —
+    // EventStream.sessionize). One data batch over the single-file
+    // source ⇒ each user's row is its FINAL session; the timeout
+    // no-data batch re-emits evicted users' identical session, folded
+    // by the distinct. Gap arithmetic is MILLISECONDS (Timestamp
+    // .getTime truncates micros→ms), mirrored exactly in the oracle
+    // (epoch_ns // 1000000).
+    QueryDef(
+      "z9_stream_sessions",
+      (s, d) => EventStream.runSessionizeOnce(s, d,
+          gapMs = 6L * 3600 * 1000,
+          queryName = s"graft_sess_${graft.etl.ScaleUtils.pathTag(d)}")
+        .select(col("user_id"), col("n_events"), col("duration_ms"))
+        .distinct()
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id,
+                       epoch_ns(ts) // 1000000 AS ms FROM events),
+              o AS (SELECT user_id, ms,
+                      CASE WHEN ms - lag(ms) OVER
+                             (PARTITION BY user_id ORDER BY ms)
+                           > 21600000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              s AS (SELECT user_id, ms,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+                    FROM o),
+              last AS (SELECT user_id, max(sid) AS msid
+                       FROM s GROUP BY 1)
+              SELECT s.user_id, count(*) AS n_events,
+                     max(s.ms) - min(s.ms) AS duration_ms
+              FROM s JOIN last ON s.user_id = last.user_id
+                              AND s.sid = last.msid
+              GROUP BY 1 ORDER BY 1""")),
+
     // APPEND-mode streaming — the unbounded-feed deployment shape: a
     // window emits exactly once when the watermark (max event time − 2 h,
     // tracked in whole milliseconds) passes its END, and its state is

@@ -108,6 +108,35 @@ object EventStream {
       }
   }
 
+  /** Run the sessionizer as a REAL stream to completion (AvailableNow →
+    * update-mode memory sink): file-source read with watermark, custom
+    * mapGroupsWithState state, event-time timeout eviction armed. The
+    * single-file events source processes as one data batch, so each
+    * user's output row is the FINAL session of its (ts-sorted) events —
+    * deterministic relational semantics; a user idle > gap before the
+    * watermark additionally re-emits the same session once from the
+    * timeout path (no-data batch) as its state is evicted, which is why
+    * consumers project (user, n_events, duration) and de-duplicate. */
+  def runSessionizeOnce(spark: SparkSession, sfDir: String, gapMs: Long,
+      queryName: String = "event_sessions"): DataFrame = {
+    nanosConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    import spark.implicits._
+    val evs = normalizeTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[SessionEvent]
+    val q = sessionize(evs, gapMs).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming dedup-at-ingest: drop duplicate (user_id, event_type, ts)
     * arrivals inside the watermark horizon — the training-data-pipeline
     * pattern of deduplicating documents as they stream in, with state

@@ -32,6 +32,23 @@ class PqSpec extends SparkSpec {
       assert(got == 0L)
     }
 
+    it("fails loudly on a vector/codebook dimension mismatch") {
+      // silent zero-padding would diverge from the codebook-literal
+      // oracle replay with no error (same contract as NearestCentroid)
+      import spark.implicits._
+      val model = Pq.PqModel(2, 2, Seq(
+        Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+        Seq(Seq(0.0, 0.0), Seq(-1.0, -1.0))))
+      val err = intercept[Exception] {
+        Seq(Seq(0.9, 0.9, -0.9)).toDF("v") // 3 dims, codebooks cover 4
+          .select(Pq.encode(col("v"), model).as("c")).collect()
+      }
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("3 dims, codebooks cover 4"), msgs)
+    }
+
     it("ADC distance equals the table sum recomputed from the code") {
       import spark.implicits._
       val emb = spark.read
