@@ -209,6 +209,38 @@ object ExtensionOps {
                      count(*) AS n, round(sum(value), 4) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Spark-NATIVE sessionization: the built-in session_window operator
+    // (gap-merged event-time windows, batch + streaming since 3.2) —
+    // the declarative twin of the custom-state z9 path; Catalyst plans
+    // it as a single user-partitioned aggregation, no window functions,
+    // no custom state. Boundary semantics differ from z5's by design:
+    // session_window merges strictly-overlapping windows, so a gap of
+    // EXACTLY 6 h starts a new session (z5's `> gap` keeps it) — the
+    // oracle mirrors with `>= gap` as the break. Exact integer micros.
+    QueryDef(
+      "z10_session_window",
+      (s, d) => EventStream.readEvents(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("s_us"),
+          col("n"))
+        .orderBy("user_id", "s_us"),
+      Some("""WITH e AS (SELECT user_id,
+                       epoch_ns(ts) // 1000 AS us FROM events),
+              o AS (SELECT user_id, us,
+                      CASE WHEN us - lag(us) OVER
+                             (PARTITION BY user_id ORDER BY us)
+                           >= 21600000000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              s AS (SELECT user_id, us,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+                    FROM o)
+              SELECT user_id, min(us) AS s_us, count(*) AS n
+              FROM s GROUP BY user_id, sid ORDER BY 1, 2""")),
+
     // STREAMING sessionization — the custom-state face of the streaming
     // surface as a CONTRACT query: real mapGroupsWithState execution
     // (update-mode memory sink, event-time timeout eviction armed —

@@ -204,6 +204,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  it("z10_session_window plans as a user-partitioned aggregate (no window fns)") {
+    // the built-in session_window must stay ONE gap-merge aggregation
+    // sharded by user — no window-function pass over the raw events and
+    // nothing quadratic
+    val p = planOf("z10_session_window")
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p)
+    assert(!p.contains("Window ["), p) // no window-function exec node
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   it("x28_quantile_sketch partial-aggregates the GK sketch map-side") {
     // the sketch's whole point at 100 TB: per-group state is a bounded
     // summary built map-side, merged once — not buffered raw values
