@@ -30,6 +30,11 @@ object EventStream {
     df.schema("ts").dataType.typeName match {
       case "long" => df.withColumn("ts",
         timestamp_micros(expr("ts div 1000")))
+      // micros stored without UTC adjustment read back as TIMESTAMP_NTZ
+      // (spark.sql.parquet.inferTimestampNTZ default); watermarks and
+      // unix_micros require TIMESTAMP. Session tz is pinned to UTC, so
+      // the cast re-labels the same instant DuckDB sees.
+      case "timestamp_ntz" => df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
 
