@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing (schema, batching, partitioning, operator
   * signatures) is real. The IMAGE decode path is real too: PNG/JPEG/
   * GIF/BMP byte streams decode through `javax.imageio` (ships in the
-  * JDK — zero new dependencies). Audio/video decoding remains a
-  * clearly-marked DETERMINISTIC STUB (no codec libraries in this
-  * environment) — swap `StubCodec` for e.g. javacpp ffmpeg bindings
-  * without touching the operators.
+  * JDK — zero new dependencies), and the AUDIO path decodes WAV/AU/
+  * AIFF byte streams through `javax.sound.sampled` (also JDK-built-in).
+  * Only VIDEO decoding remains a clearly-marked DETERMINISTIC STUB
+  * (the JDK has no video codec) — swap `StubCodec` for e.g. javacpp
+  * ffmpeg bindings without touching the operators.
   *
   * Scale notes: assets stay as single binary cells (no driver
   * collection); feature extraction streams partition-locally in blocks;
@@ -79,9 +80,60 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
-  /** DETERMINISTIC STUB codec for the arms with no JDK decoder (audio/
-    * video) and for synthetic non-image cells. Replace with a real
-    * decoder; operators below are agnostic. */
+  /** REAL audio decoder — `javax.sound.sampled` (JDK `java.desktop`
+    * module, zero new dependencies; WAV, AU and AIFF container readers
+    * plus PCM/µ-law/a-law codecs are built in). Container detection by
+    * magic bytes, mirroring [[ImageCodec]]: synthetic non-audio cells
+    * never pay an exception-driven parse attempt. */
+  object AudioCodec {
+    /** True iff the bytes start with a WAV (RIFF/WAVE), AU (.snd) or
+      * AIFF (FORM/AIFF) container signature. */
+    def looksLikeAudio(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 && (
+        (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') ||
+        (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+          b(8) == 'A' && b(9) == 'I' && b(10) == 'F'))
+
+    /** Decode → (sample_rate, channels, duration_ms, RMS amplitude in
+      * [0,1]); None when the bytes are not decodable audio. Any input
+      * encoding (8/16/24-bit PCM, µ-law, a-law, either endianness) is
+      * normalized through a PCM_SIGNED 16-bit transcode so RMS is
+      * comparable across sources. */
+    def decode(content: Array[Byte]): Option[(Int, Int, Long, Double)] =
+      if (!looksLikeAudio(content)) None
+      else try {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val sf = raw.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          sf.getSampleRate, 16, sf.getChannels,
+          sf.getChannels * 2, sf.getSampleRate, false)
+        val in = AudioSystem.getAudioInputStream(target, raw)
+        val bytes = in.readAllBytes()
+        in.close(); raw.close()
+        val n = bytes.length / 2
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+          val v = s / 32768.0
+          sumSq += v * v
+          i += 1
+        }
+        val rate = math.round(sf.getSampleRate).toInt
+        val frames = n / math.max(1, sf.getChannels)
+        val durMs = math.round(frames * 1000.0 / rate)
+        Some((rate, sf.getChannels, durMs,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+      } catch { case _: Exception => None }
+  }
+
+  /** DETERMINISTIC STUB codec for the arm with no JDK decoder (video)
+    * and for synthetic non-media cells. Replace with a real decoder;
+    * operators below are agnostic. */
   object StubCodec {
     /** "Decode" → (width, height, mean intensity in [0,1]). */
     def decodeImage(content: Array[Byte], w: Int, h: Int): (Int, Int, Double) = {
@@ -90,6 +142,17 @@ object Multimodal {
       while (i < content.length) { acc += (content(i) & 0xff); i += 1 }
       (w, h, if (content.isEmpty) 0.0 else acc.toDouble / content.length / 255.0)
     }
+    /** "Decode audio" → (sample_rate, channels, duration_ms, byte-mean
+      * amplitude in [0,1]) from the metadata + raw bytes. */
+    def decodeAudio(content: Array[Byte], sampleRate: Int,
+        durationMs: Long): (Int, Int, Long, Double) = {
+      var acc = 0L
+      var i = 0
+      while (i < content.length) { acc += (content(i) & 0xff); i += 1 }
+      (sampleRate, 1, durationMs,
+        if (content.isEmpty) 0.0 else acc.toDouble / content.length / 255.0)
+    }
+
     /** "Embed" → dim floats derived from a rolling hash (unit-norm). */
     def feature(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -175,6 +238,35 @@ object Multimodal {
         // Seq[Any], not Seq(w, h, inten): Scala would widen the Ints to
         // Double and the Row encoder rejects Double-for-INT at runtime
         Row.fromSeq(r.toSeq ++ Seq[Any](w, h, inten))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio decode: binary → (dec_sample_rate, dec_channels,
+    * dec_duration_ms, rms_amplitude) columns, partition-local like
+    * [[decodeImages]]. Real WAV/AU/AIFF byte streams decode via
+    * [[AudioCodec]] (`javax.sound.sampled`); cells whose bytes are not
+    * decodable audio (the synthetic stub corpus) fall back to
+    * [[StubCodec]] with the metadata rate/duration — exact on real
+    * audio, deterministic on stub data. */
+  def decodeAudio(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val ci = assets.schema.fieldIndex("content")
+    val mi = assets.schema.fieldIndex("meta")
+    val outSchema = StructType(assets.schema.fields ++ Seq(
+      StructField("dec_sample_rate", IntegerType),
+      StructField("dec_channels", IntegerType),
+      StructField("dec_duration_ms", LongType),
+      StructField("rms_amplitude", DoubleType)))
+    val rdd = assets.rdd.mapPartitions { it =>
+      it.map { r =>
+        val content = r.getAs[Array[Byte]](ci)
+        val meta = r.getStruct(mi)
+        val (rate, ch, dur, rms) = AudioCodec.decode(content).getOrElse(
+          StubCodec.decodeAudio(content,
+            meta.getAs[Int]("sample_rate"), meta.getAs[Long]("duration_ms")))
+        Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, dur, rms))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -81,6 +81,58 @@ class ExtensionsSpec extends SparkSpec {
       assert(math.abs(out.getAs[Double]("mean_intensity") - expected) < 1e-12)
     }
 
+    it("decodes a REAL byte-array WAV to exact rate/duration/RMS") {
+      // golden: 0.25 s of a 440 Hz sine at 8 kHz mono, 16-bit PCM,
+      // WAV-encoded in-memory via the JDK writer (lossless container,
+      // so decoded RMS must match the quantized samples bit-for-bit)
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val rate = 8000
+      val n = rate / 4
+      val pcm = new Array[Byte](n * 2)
+      var sumSq = 0.0
+      for (i <- 0 until n) {
+        val s = math.round(0.5 * math.sin(2 * math.Pi * 440 * i / rate)
+          * 32767).toShort
+        sumSq += (s / 32768.0) * (s / 32768.0)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val expectedRms = math.sqrt(sumSq / n)
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n),
+        AudioFileFormat.Type.WAVE, bos)
+      val wav = bos.toByteArray
+      // direct codec golden check
+      val Some((dr, dc, dur, rms)) = Multimodal.AudioCodec.decode(wav)
+      assert(dr == rate && dc == 1 && dur == 250L)
+      assert(math.abs(rms - expectedRms) < 1e-12, s"rms $rms != $expectedRms")
+      // through the distributed operator: real bytes in a binary cell
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, "audio", wav, Row("audio/wav", 0, 0, rate, 250L))),
+        Multimodal.assetSchema)
+      val out = Multimodal.decodeAudio(df).collect()(0)
+      assert(out.getAs[Int]("dec_sample_rate") == rate)
+      assert(out.getAs[Int]("dec_channels") == 1)
+      assert(out.getAs[Long]("dec_duration_ms") == 250L)
+      assert(math.abs(out.getAs[Double]("rms_amplitude") - expectedRms) < 1e-12)
+      // non-audio bytes: codec declines, operator keeps stub semantics
+      val text = "not audio".getBytes("UTF-8")
+      assert(Multimodal.AudioCodec.decode(text).isEmpty)
+      val viaOp = Multimodal.decodeAudio(assets.limit(5)).collect()
+      viaOp.foreach { r =>
+        val stub = Multimodal.StubCodec.decodeAudio(
+          r.getAs[Array[Byte]]("content"),
+          r.getAs[Row]("meta").getAs[Int]("sample_rate"),
+          r.getAs[Row]("meta").getAs[Long]("duration_ms"))
+        assert(r.getAs[Int]("dec_sample_rate") == stub._1)
+        assert(r.getAs[Long]("dec_duration_ms") == stub._3)
+        assert(math.abs(r.getAs[Double]("rms_amplitude") - stub._4) < 1e-12)
+      }
+    }
+
     it("decodes JPEG bytes and falls back to the stub on non-image cells") {
       val img = new java.awt.image.BufferedImage(
         16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
