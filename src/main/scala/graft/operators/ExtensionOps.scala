@@ -301,6 +301,56 @@ object ExtensionOps {
               GROUP BY 1, 2, wm.w_ms
               HAVING epoch_ns(date_trunc('hour', ts)) // 1000000
                        + 3600000 <= wm.w_ms
-              ORDER BY 1, 2"""))
+              ORDER BY 1, 2""")),
+
+    // REAL-codec round trip, image arm: paint WxH pixels from integer
+    // rules of doc_id, PNG-encode AND PNG-decode through javax.imageio
+    // in one partition-local pass, emit exact integer channel sums.
+    // PNG is lossless, so the oracle recomputes the sums from the paint
+    // rules alone — a real encode→decode cycle value-checked by DuckDB,
+    // not stub arithmetic. (The double-luma decode path stays
+    // gold-tested in ExtensionsSpec; this query keeps every compared
+    // value integer-exact.)
+    QueryDef(
+      "z11_image_roundtrip",
+      (s, d) => Multimodal.imageRoundTrip(T.documents(s, d))
+        .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id,
+                     CAST(doc_id % 13 + 4 AS INT) AS dec_width,
+                     CAST(doc_id % 11 + 4 AS INT) AS dec_height,
+                     CAST(sum((doc_id*31 + x.range*7 + y.range*13) % 256)
+                       AS BIGINT) AS sum_r,
+                     CAST(sum((doc_id*17 + x.range*11 + y.range*5) % 256)
+                       AS BIGINT) AS sum_g,
+                     CAST(sum((doc_id*29 + x.range*3 + y.range*19) % 256)
+                       AS BIGINT) AS sum_b
+              FROM documents, range(16) x, range(14) y
+              WHERE doc_id % 3 = 0
+                AND x.range < doc_id % 13 + 4
+                AND y.range < doc_id % 11 + 4
+              GROUP BY doc_id ORDER BY asset_id""")),
+
+    // REAL-codec round trip, audio arm: synthesize 16-bit PCM from
+    // integer rules, WAV-encode via javax.sound and decode back through
+    // AudioCodec. Every RMS term is (s/32768)² — binary-exact doubles
+    // whose ≤69-term sum fits a 53-bit mantissa losslessly — so even
+    // the floating-point column is bit-deterministic and the oracle
+    // reproduces it exactly from the rules.
+    QueryDef(
+      "z12_audio_roundtrip",
+      (s, d) => Multimodal.audioRoundTrip(T.documents(s, d))
+        .orderBy("asset_id"),
+      Some("""WITH smp AS (
+                SELECT doc_id,
+                       ((doc_id*7919 + i.range*104729) % 65536) - 32768 AS s
+                FROM documents, range(69) i
+                WHERE doc_id % 3 = 1 AND i.range < doc_id % 50 + 20)
+              SELECT doc_id AS asset_id,
+                     CAST(8000 AS INT) AS dec_sample_rate,
+                     CAST(1 AS INT) AS dec_channels,
+                     CAST(round((doc_id % 50 + 20) / 8.0, 0) AS BIGINT)
+                       AS dec_duration_ms,
+                     sqrt(sum((s/32768.0)*(s/32768.0)) / count(*)) AS rms
+              FROM smp GROUP BY doc_id ORDER BY asset_id"""))
   )
 }
