@@ -40,6 +40,33 @@ object SimilarityOps {
   def fastCosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosine_sim(a, b)
 
+  /** Corpus embedding width that the literal-replay oracles (in-order
+    * dot products, hyperplane matrices, IVF centroids, PQ codebooks)
+    * and the `dims`-threaded plans are generated at. This is an
+    * OBSERVED property of the driver's embeddings table, not a
+    * documented contract — so the similarity queries read the table
+    * through [[checkedEmbeddings]], which fails loudly if a testdata
+    * regeneration ever changes the width. The silent alternative is a
+    * dozen queries hash-mismatching with no hint why (exactly the
+    * failure class ADVICE r6 flagged for NearestCentroid, and the
+    * round-7 events-timestamp regeneration proved data DOES change
+    * shape between rounds). */
+  val EmbeddingDim = 64
+
+  private val dimCache = TrieMap.empty[String, Int]
+
+  /** `embeddings` table scan guarded by a once-per-dataset width probe
+    * (one row; memoized — dataset dirs are immutable within a JVM). */
+  def checkedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val dim = dimCache.getOrElseUpdate(d,
+      T.embeddings(s, d).select(size(col("embedding"))).head().getInt(0))
+    require(dim == EmbeddingDim,
+      s"embeddings at $d are $dim-dim; plans and literal-replay oracles " +
+      s"are generated at $EmbeddingDim — regenerate them (SimilarityOps." +
+      "EmbeddingDim) instead of silently mis-replaying")
+    T.embeddings(s, d)
+  }
+
   /** LSH bit-width sized to the corpus: 2^nBits ≈ n / targetPerBucket, so
     * expected bucket occupancy stays ~constant and within-bucket verify
     * work grows O(n·target) — a FIXED bit-width degrades O(n²/2^bits) as
@@ -139,13 +166,13 @@ object SimilarityOps {
     * corpus are never within fp-drift of zero. */
   private[operators] def lshSigCtes(seeds: Seq[Long],
       maxBits: Int = 12): String =
-    s"""pl AS (SELECT ${planeSqlLiteral(seeds, maxBits, 64)} AS p),
+    s"""pl AS (SELECT ${planeSqlLiteral(seeds, maxBits, EmbeddingDim)} AS p),
        |nb AS (SELECT least(24, greatest(4,
        |         (SELECT min(b) FROM range(0, 25) t(b)
        |          WHERE 64 * (CAST(1 AS BIGINT) << b)
        |                >= (SELECT count(*) FROM embeddings)))) AS nbits),
        |dots AS (SELECT e.vec_id, t.tab, b.b,
-       |           list_sum(list_transform(range(1, 65),
+       |           list_sum(list_transform(range(1, ${EmbeddingDim + 1}),
        |             i -> CAST(e.embedding[i] AS DOUBLE)
        |                  * pl.p[t.tab + 1][b.b + 1][i])) AS d
        |         FROM embeddings e, range(0, ${seeds.length}) t(tab),
@@ -162,7 +189,7 @@ object SimilarityOps {
   /** In-order cosine between two embedding columns, the SQL image of
     * the fused [[fastCosine]] loop (same y1-proven formulation). */
   private[operators] def cosineSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, 65),
+    s"""(list_sum(list_transform(range(1, ${EmbeddingDim + 1}),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
@@ -218,7 +245,7 @@ object SimilarityOps {
     * every vector, the dedup/knn-graph shape). */
   def lshTopK(emb: DataFrame, k: Int, maxQid: Option[Long] = None,
       seeds: Seq[Long] = SimilarityOps.defaultSeeds,
-      dims: Int = 64, cacheKey: Option[String] = None): DataFrame = {
+      dims: Int = EmbeddingDim, cacheKey: Option[String] = None): DataFrame = {
     val n = cacheKey.fold(emb.count())(kk => cachedCount(kk, emb))
     val nBits = scaledLshBits(n)
     val e = cacheKey.fold(bucketedFrame(emb, nBits, seeds, dims))(kk =>
@@ -245,7 +272,7 @@ object SimilarityOps {
     * features: array<double>). Float→double casts are exact, so cosine /
     * distance values match computations on the raw float column. */
   private def featFrame(s: SparkSession, d: String): DataFrame =
-    T.embeddings(s, d).select(col("vec_id"),
+    checkedEmbeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("features"))
 
   /** IVF coarse-quantizer geometry for dataset `d`: k = max(8, ⌈√n⌉)
@@ -255,7 +282,7 @@ object SimilarityOps {
     * oracle's literals are the numbers the plan embedded. */
   def ivfCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
     import graft.ml.Clustering
-    val e = T.embeddings(s, d)
+    val e = checkedEmbeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("features"))
     val n = cachedCount(s"emb:$d", e)
@@ -367,8 +394,8 @@ object SimilarityOps {
   private def pqParts(s: SparkSession, d: String) = {
     import graft.ml.Pq
     val model = Pq.fitCached(s"pq:$d",
-      featFrame(s, d).select(col("features")), dims = 64)
-    val q = T.embeddings(s, d).filter(col("vec_id") === 0)
+      featFrame(s, d).select(col("features")), dims = EmbeddingDim)
+    val q = checkedEmbeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
     (model, q, Pq.adcTable(q, model))
   }
@@ -414,7 +441,7 @@ object SimilarityOps {
     QueryDef(
       "y1_cosine_topk",
       (s, d) => {
-        val e = T.embeddings(s, d)
+        val e = checkedEmbeddings(s, d)
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
         e.filter(col("vec_id") =!= 0)
@@ -424,10 +451,10 @@ object SimilarityOps {
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
               SELECT e.vec_id, e.label,
                      round(
-                       list_sum(list_transform(range(1, 65),
+                       list_sum(list_transform(range(1, ${EmbeddingDim + 1}),
                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
                        / (sqrt(list_sum(list_transform(e.embedding,
                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -442,14 +469,14 @@ object SimilarityOps {
     // aggregation map-side combinable.
     QueryDef(
       "y2_centroids",
-      (s, d) => T.embeddings(s, d)
+      (s, d) => checkedEmbeddings(s, d)
         .select(col("label"), posexplode(col("embedding")))
         .groupBy("label", "pos")
         .agg(round(avg(col("col").cast("double")), 4).as("v"))
         .orderBy("label", "pos"),
-      Some("""SELECT label, i - 1 AS pos,
+      Some(s"""SELECT label, i - 1 AS pos,
                      round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS v
-              FROM embeddings, range(1, 65) t(i)
+              FROM embeddings, range(1, ${EmbeddingDim + 1}) t(i)
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // k-NN join: top-3 neighbors for each of the first 20 vectors.
@@ -457,7 +484,7 @@ object SimilarityOps {
     QueryDef(
       "y3_knn_join",
       (s, d) => {
-        val e = T.embeddings(s, d)
+        val e = checkedEmbeddings(s, d)
         val queries = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val w = Window.partitionBy("qid")
@@ -472,10 +499,10 @@ object SimilarityOps {
           .select("qid", "nid", "cos_sim")
           .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
       },
-      Some("""WITH sims AS (
+      Some(s"""WITH sims AS (
                 SELECT a.vec_id AS qid, b.vec_id AS nid,
                        round(
-                         list_sum(list_transform(range(1, 65),
+                         list_sum(list_transform(range(1, ${EmbeddingDim + 1}),
                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
                          / (sqrt(list_sum(list_transform(a.embedding,
                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -492,7 +519,7 @@ object SimilarityOps {
     // feature blocks positionally; here: sum of the first 8 dims).
     QueryDef(
       "p3_array_slice",
-      (s, d) => T.embeddings(s, d)
+      (s, d) => checkedEmbeddings(s, d)
         .select(col("vec_id"),
           round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
             (acc, x) => acc + x.cast("double")), 5).as("head_sum"))
@@ -519,7 +546,7 @@ object SimilarityOps {
         // native expressions cast per-element (exactly), so skipping the
         // transform() projection keeps the scan→argmin→join chain inside
         // whole-stage codegen (HOF lambdas would break it)
-        val corpus = T.embeddings(s, d).select(col("vec_id").as("nid"),
+        val corpus = checkedEmbeddings(s, d).select(col("vec_id").as("nid"),
           col("embedding").as("ne"),
           ivfCellExpr(col("embedding"), cents).as("cell"))
         // centroid routing table: k rows, broadcast — each query ranks
@@ -564,7 +591,7 @@ object SimilarityOps {
         import graft.ml.Pq
         val e = featFrame(s, d)
         val cents = ivfCentroids(s, d)
-        val pq = Pq.fitCached(s"pq:$d", e.select(col("features")), dims = 64)
+        val pq = Pq.fitCached(s"pq:$d", e.select(col("features")), dims = EmbeddingDim)
         val q = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toSeq
         // probe the 2 nearest cells driver-side: k centroids, tiny
         val probed = nearestCells(cents, q, 2)
@@ -572,7 +599,7 @@ object SimilarityOps {
         // raw float column end to end (exact per-element casts inside the
         // native expressions): scan → argmin-filter → encode → ADC stays
         // one whole-stage-codegen pipeline, no HOF cast projection
-        T.embeddings(s, d)
+        checkedEmbeddings(s, d)
           .withColumn("cell", ivfCellExpr(col("embedding"), cents))
           .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"),
@@ -593,10 +620,10 @@ object SimilarityOps {
         "y6_pq_ann",
         (s, d) => {
           import graft.ml.Pq
-          val e = T.embeddings(s, d)
+          val e = checkedEmbeddings(s, d)
           val model = Pq.fitCached(s"pq:$d", e.select(
               transform(col("embedding"), x => x.cast("double"))
-                .as("features")), dims = 64)
+                .as("features")), dims = EmbeddingDim)
           val q = e.filter(col("vec_id") === 0)
             .select(col("embedding")).head()
             .getSeq[Float](0).map(_.toDouble).toSeq
@@ -621,7 +648,7 @@ object SimilarityOps {
     // superset of any single table's, so recall is monotone in L).
     QueryDef(
       "y4_lsh_ann",
-      (s, d) => lshTopK(T.embeddings(s, d), k = 3,
+      (s, d) => lshTopK(checkedEmbeddings(s, d), k = 3,
         cacheKey = Some(s"emb:$d")),
       // Fully oracled (round 5): the seeded hyperplanes are plan-time
       // constants, so the oracle simply inlines the same literal matrix

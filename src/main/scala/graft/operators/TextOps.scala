@@ -790,14 +790,13 @@ object TextOps {
     QueryDef(
       "x11_embed_neardup",
       (s, d) => {
-        import graft.{Tables => TT}
         val key = s"emb:$d"
         val nBits = SimilarityOps.scaledLshBits(
-          SimilarityOps.cachedCount(key, TT.embeddings(s, d)))
+          SimilarityOps.cachedCount(key, SimilarityOps.checkedEmbeddings(s, d)))
         // single-table (seed 42) slice of the persisted signature frame —
         // shared with y4's cache, literal-plane codegen'd bucket ids
-        val e = SimilarityOps.cachedBucketedFrame(key, TT.embeddings(s, d),
-          nBits, Seq(42L), 64)
+        val e = SimilarityOps.cachedBucketedFrame(key, SimilarityOps.checkedEmbeddings(s, d),
+          nBits, Seq(42L), SimilarityOps.EmbeddingDim)
         val a = e.select(col("vec_id").as("id_a"),
           col("embedding").as("e_a"), col("bucket"))
         val b = e.select(col("vec_id").as("id_b"),
@@ -1348,12 +1347,11 @@ object TextOps {
     QueryDef(
       "x26_semantic_components",
       (s, d) => {
-        import graft.{Tables => TT}
         val key = s"emb:$d"
         val nBits = SimilarityOps.scaledLshBits(
-          SimilarityOps.cachedCount(key, TT.embeddings(s, d)))
-        val e = SimilarityOps.cachedBucketedFrame(key, TT.embeddings(s, d),
-          nBits, Seq(42L), 64)
+          SimilarityOps.cachedCount(key, SimilarityOps.checkedEmbeddings(s, d)))
+        val e = SimilarityOps.cachedBucketedFrame(key, SimilarityOps.checkedEmbeddings(s, d),
+          nBits, Seq(42L), SimilarityOps.EmbeddingDim)
         val a = e.select(col("vec_id").as("id_a"),
           col("embedding").as("e_a"), col("bucket"))
         val b = e.select(col("vec_id").as("id_b"),

@@ -65,4 +65,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.30, f"IVF recall $r%.3f below floor")
     exact.unpersist()
   }
+
+  it("checkedEmbeddings fails LOUDLY on a width != EmbeddingDim corpus") {
+    // the literal-replay oracles are generated at EmbeddingDim; a
+    // regenerated corpus at another width must error, not silently
+    // hash-mismatch a dozen queries (cf. the r7 ts regeneration)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq((0L, Array(1f, 2f, 3f), 0), (1L, Array(4f, 5f, 6f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.checkedEmbeddings(spark, dir)
+    }
+    assert(e.getMessage.contains("3-dim") &&
+      e.getMessage.contains(SimilarityOps.EmbeddingDim.toString))
+    // and the real corpus passes the probe
+    assert(SimilarityOps.checkedEmbeddings(spark, sf).count() > 0)
+  }
 }
