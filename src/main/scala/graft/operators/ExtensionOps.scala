@@ -303,6 +303,31 @@ object ExtensionOps {
                        + 3600000 <= wm.w_ms
               ORDER BY 1, 2""")),
 
+    // STREAM-STREAM interval join as a contract query: both sides are
+    // watermarked streams; buffered state is evicted once the other
+    // side's watermark passes the interval bound — the only join
+    // formulation that survives an unbounded feed. Over the single-file
+    // AvailableNow run every row of both sides arrives in micro-batch 1
+    // and inner-join matches emit on arrival (state eviction only
+    // affects LATER batches), so the complete output equals the batch
+    // interval join — which is exactly what the oracle replays in
+    // micros-exact integer arithmetic. Third oracled streaming query;
+    // first oracled stream-stream JOIN.
+    QueryDef(
+      "z13_stream_join",
+      (s, d) => EventStream.runIntervalJoinOnce(s, d,
+          queryName = s"graft_stream_j_${graft.etl.ScaleUtils.pathTag(d)}")
+        .select(col("purchase_id"), col("click_id"))
+        .orderBy("purchase_id", "click_id"),
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+              FROM events p, events c
+              WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+                AND c.user_id = p.user_id
+                AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000
+                AND epoch_ns(c.ts) // 1000
+                    > epoch_ns(p.ts) // 1000 - 21600000000
+              ORDER BY 1, 2""")),
+
     // REAL-codec round trip, image arm: paint WxH pixels from integer
     // rules of doc_id, PNG-encode AND PNG-decode through javax.imageio
     // in one partition-local pass, emit exact integer channel sums.
