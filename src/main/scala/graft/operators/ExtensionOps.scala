@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.{QueryDef, Tables => T}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
@@ -302,6 +303,27 @@ object ExtensionOps {
               HAVING epoch_ns(date_trunc('hour', ts)) // 1000000
                        + 3600000 <= wm.w_ms
               ORDER BY 1, 2""")),
+
+    // Semi-structured payload extraction: the events `props` column is
+    // a JSON string; parse it ONCE per row with a declared schema
+    // (from_json — no schema inference pass, the only shape that works
+    // on a 100 TB feed) and aggregate the typed field. All compared
+    // values integer-exact; map-side combinable agg on a 5-key shuffle.
+    QueryDef(
+      "z14_json_props",
+      (s, d) => EventStream.readEvents(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(
+            StructField("k", IntegerType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+                     min(CAST(props->>'k' AS INT)) AS min_k,
+                     max(CAST(props->>'k' AS INT)) AS max_k
+              FROM events GROUP BY 1 ORDER BY 1""")),
 
     // STREAM-STREAM interval join as a contract query: both sides are
     // watermarked streams; buffered state is evicted once the other

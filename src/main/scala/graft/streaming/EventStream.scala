@@ -26,6 +26,25 @@ object EventStream {
   private def nanosConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Run a bounded streaming execution with its state-store shard count
+    * sized to the STATE, not to the session's batch shuffle width.
+    * Stateful operators shard their stores by `shuffle.partitions` at
+    * query start, and every micro-batch pays a ~fixed commit cost per
+    * (store × shard): a stream-stream join carries FOUR stores per
+    * shard, so at the batch-sized 32 shards a tiny-state AvailableNow
+    * run is commit-bound (measured: interval join 8.9 s at 32 shards;
+    * see SCALE.md). A production deployment with real state volume
+    * raises the width back — it is one conf, fixed per query at first
+    * start. The session conf is restored after the run (the shard
+    * count is captured at query START, so the restore cannot race the
+    * batches). */
+  private def withStateShards[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType.typeName match {
       case "long" => df.withColumn("ts",
@@ -123,24 +142,25 @@ object EventStream {
     * timeout path (no-data batch) as its state is evicted, which is why
     * consumers project (user, n_events, duration) and de-duplicate. */
   def runSessionizeOnce(spark: SparkSession, sfDir: String, gapMs: Long,
-      queryName: String = "event_sessions"): DataFrame = {
-    nanosConf(spark)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    import spark.implicits._
-    val evs = normalizeTs(spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
-      .withWatermark("ts", "2 hours")
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .as[SessionEvent]
-    val q = sessionize(evs, gapMs).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "event_sessions"): DataFrame =
+    withStateShards(spark, 8) {
+      nanosConf(spark)
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      import spark.implicits._
+      val evs = normalizeTs(spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[SessionEvent]
+      val q = sessionize(evs, gapMs).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /** Streaming dedup-at-ingest: drop duplicate (user_id, event_type, ts)
     * arrivals inside the watermark horizon — the training-data-pipeline
@@ -162,28 +182,30 @@ object EventStream {
   /** Run the streaming dedup to completion (AvailableNow) into an
     * in-memory table; returns the deduplicated rows. */
   def runDedupOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_dedup"): DataFrame = {
-    val q = dedupStream(spark, sfDir).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "event_dedup"): DataFrame =
+    withStateShards(spark, 8) {
+      val q = dedupStream(spark, sfDir).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /** Run the windowed-count stream to completion (AvailableNow) into an
     * in-memory table; returns the materialized result. */
   def runWindowedOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_counts"): DataFrame = {
-    val q = windowedCounts(spark, sfDir).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "event_counts"): DataFrame =
+    withStateShards(spark, 8) {
+      val q = windowedCounts(spark, sfDir).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /** Append-mode windowed counts: a window emits exactly ONCE, when the
     * watermark passes its end, and its state is then EVICTED — the
@@ -193,15 +215,16 @@ object EventStream {
     * watermark horizon of the max event time — remain open and
     * unemitted, which is exactly the semantics the z8 oracle replays. */
   def runWindowedAppendOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_counts_append"): DataFrame = {
-    val q = windowedCounts(spark, sfDir).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "event_counts_append"): DataFrame =
+    withStateShards(spark, 8) {
+      val q = windowedCounts(spark, sfDir).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /** One instrumented windowed-stream run, splitting wall-clock into
     * `start()` (source discovery, query planning, state-store init) vs
@@ -254,13 +277,14 @@ object EventStream {
 
   /** Run the stream-stream join to completion (AvailableNow). */
   def runIntervalJoinOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_join", windowHours: Int = 6): DataFrame = {
-    val q = streamIntervalJoin(spark, sfDir, windowHours).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "event_join", windowHours: Int = 6): DataFrame =
+    withStateShards(spark, 8) {
+      val q = streamIntervalJoin(spark, sfDir, windowHours).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 }
