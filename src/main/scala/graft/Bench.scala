@@ -81,6 +81,14 @@ object Bench {
     line
   }
 
+  /** `,"failed_queries":[...]` fragment for the FULL-precision line and
+    * BENCH_LOCAL.json — the failures get NAMED where no byte budget
+    * applies; the compact line only counts them. Empty when none. */
+  private[graft] def failedNamesJson(failed: Seq[String]): String =
+    if (failed.isEmpty) ""
+    else failed.map(n => "\"" + n + "\"")
+      .mkString(""","failed_queries":[""", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,7 +139,8 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
     }
     val extraFailed = s""","failed":${failed.size}"""
-    val full = renderLine(results, sfName, 3, extraFailed)
+    val full = renderLine(results, sfName, 3,
+      extraFailed + failedNamesJson(failed.toSeq))
     println(full)
     if (failed.nonEmpty)
       System.err.println(s"bench failures: ${failed.mkString(", ")}")

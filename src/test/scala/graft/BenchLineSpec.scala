@@ -109,6 +109,12 @@ class BenchLineSpec extends AnyFunSuite {
     // full-precision path (what BENCH_LOCAL.json records)
     val n3 = mapper.readTree(Bench.renderLine(results, "sf0.1", 3, extra))
     assert(n3.get("failed").asInt == 2)
+    // the full line NAMES the failures (no byte budget applies there)
+    val n4 = mapper.readTree(Bench.renderLine(results, "sf0.1", 3,
+      extra + Bench.failedNamesJson(Seq("q_a", "q_b"))))
+    assert(n4.get("failed_queries").size == 2 &&
+      n4.get("failed_queries").get(0).asText == "q_a")
+    assert(Bench.failedNamesJson(Nil).isEmpty)
   }
 
   test("renderLine total equals the sum of per-query timings") {
