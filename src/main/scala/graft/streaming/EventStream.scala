@@ -26,6 +26,12 @@ object EventStream {
   private def nanosConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Default state-store shard count for the bounded AvailableNow
+    * runners: sized to the tiny test-corpus state. Every runner takes
+    * a `stateShards` override — the per-query dial a deployment turns
+    * up with state volume. */
+  val DefaultStateShards: Int = 8
+
   /** Run a bounded streaming execution with its state-store shard count
     * sized to the STATE, not to the session's batch shuffle width.
     * Stateful operators shard their stores by `shuffle.partitions` at
@@ -142,8 +148,9 @@ object EventStream {
     * timeout path (no-data batch) as its state is evicted, which is why
     * consumers project (user, n_events, duration) and de-duplicate. */
   def runSessionizeOnce(spark: SparkSession, sfDir: String, gapMs: Long,
-      queryName: String = "event_sessions"): DataFrame =
-    withStateShards(spark, 8) {
+      queryName: String = "event_sessions",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
       nanosConf(spark)
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       import spark.implicits._
@@ -182,8 +189,9 @@ object EventStream {
   /** Run the streaming dedup to completion (AvailableNow) into an
     * in-memory table; returns the deduplicated rows. */
   def runDedupOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_dedup"): DataFrame =
-    withStateShards(spark, 8) {
+      queryName: String = "event_dedup",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
       val q = dedupStream(spark, sfDir).writeStream
         .format("memory").queryName(queryName)
         .outputMode("append")
@@ -196,8 +204,9 @@ object EventStream {
   /** Run the windowed-count stream to completion (AvailableNow) into an
     * in-memory table; returns the materialized result. */
   def runWindowedOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_counts"): DataFrame =
-    withStateShards(spark, 8) {
+      queryName: String = "event_counts",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
       val q = windowedCounts(spark, sfDir).writeStream
         .format("memory").queryName(queryName)
         .outputMode("complete")
@@ -215,8 +224,9 @@ object EventStream {
     * watermark horizon of the max event time — remain open and
     * unemitted, which is exactly the semantics the z8 oracle replays. */
   def runWindowedAppendOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_counts_append"): DataFrame =
-    withStateShards(spark, 8) {
+      queryName: String = "event_counts_append",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
       val q = windowedCounts(spark, sfDir).writeStream
         .format("memory").queryName(queryName)
         .outputMode("append")
@@ -277,8 +287,9 @@ object EventStream {
 
   /** Run the stream-stream join to completion (AvailableNow). */
   def runIntervalJoinOnce(spark: SparkSession, sfDir: String,
-      queryName: String = "event_join", windowHours: Int = 6): DataFrame =
-    withStateShards(spark, 8) {
+      queryName: String = "event_join", windowHours: Int = 6,
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
       val q = streamIntervalJoin(spark, sfDir, windowHours).writeStream
         .format("memory").queryName(queryName)
         .outputMode("append")

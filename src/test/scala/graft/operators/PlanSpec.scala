@@ -220,4 +220,25 @@ class PlanSpec extends SparkSpec {
     val p = planOf("x28_quantile_sketch")
     assert(p.contains("partial_approx_percentile"), p)
   }
+
+  it("z14_json_props parses with a declared schema and partial-aggregates") {
+    // one from_json per row with a DECLARED schema (no inference pass —
+    // the only shape that works on a 100 TB feed), then map-side
+    // partials into a single 5-key merge exchange
+    val p = planOf("z14_json_props")
+    assert(p.contains("from_json"), p)
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  it("z11/z12 codec round trips stay shuffle-free scans before the sort") {
+    // the distributed-codec shape: encode+decode is partition-local CPU;
+    // the only exchange allowed is the final presentation ORDER BY
+    for (name <- Seq("z11_image_roundtrip", "z12_audio_roundtrip")) {
+      val p = planOf(name)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$name: $exchanges exchanges\n$p") // rangepartition + AQE read
+      assert(!p.contains("HashAggregate"), s"$name buffered an aggregate\n$p")
+    }
+  }
 }
