@@ -304,6 +304,44 @@ object ExtensionOps {
                        + 3600000 <= wm.w_ms
               ORDER BY 1, 2""")),
 
+    // FULL-history append-mode streaming sessionization
+    // (flatMapGroupsWithState): every gap-closed session emits in-batch;
+    // open sessions emit only when the watermark passes last+gap
+    // (timeout eviction), so sessions inside the final watermark
+    // horizon stay unemitted — the closed-only discipline of z8, now
+    // for CUSTOM state. Oracle: the z5/z9 session derivation, emitted
+    // iff another session follows for the same user (gap-closed) OR
+    // last + gap <= final watermark (timeout-closed; Spark fires
+    // timeouts at armed-ts <= watermark, mirroring z8's `end <= wm`).
+    QueryDef(
+      "z15_stream_sessions_all",
+      (s, d) => EventStream.runSessionizeAllOnce(s, d,
+          gapMs = 6L * 3600 * 1000,
+          queryName = s"graft_sess_all_${graft.etl.ScaleUtils.pathTag(d)}")
+        .orderBy("user_id", "s_ms"),
+      Some("""WITH e AS (SELECT user_id,
+                       epoch_ns(ts) // 1000000 AS ms FROM events),
+              o AS (SELECT user_id, ms,
+                      CASE WHEN ms - lag(ms) OVER
+                             (PARTITION BY user_id ORDER BY ms)
+                           > 21600000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              s AS (SELECT user_id, ms,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+                    FROM o),
+              sess AS (SELECT user_id, sid, min(ms) AS s_ms, max(ms) AS l_ms,
+                              count(*) AS n_events
+                       FROM s GROUP BY 1, 2),
+              wm AS (SELECT max(ms) - 7200000 AS w FROM e)
+              SELECT user_id, s_ms, n_events, l_ms - s_ms AS duration_ms
+              FROM sess, wm
+              WHERE sid < (SELECT max(sid) FROM sess s2
+                           WHERE s2.user_id = sess.user_id)
+                 OR l_ms + 21600000 <= wm.w
+              ORDER BY 1, 2""")),
+
     // Semi-structured payload extraction: the events `props` column is
     // a JSON string; parse it ONCE per row with a declared schema
     // (from_json — no schema inference pass, the only shape that works

@@ -138,6 +138,83 @@ object EventStream {
       }
   }
 
+  final case class SessionRow(user_id: Long, s_ms: Long, n_events: Long,
+      duration_ms: Long)
+
+  /** FULL-history sessionization: `flatMapGroupsWithState` in append
+    * mode emits EVERY session, not just each group's latest state —
+    * gap-closed sessions emit the moment a later event opens the next
+    * one, and the still-open final session emits (and its state drops)
+    * when the watermark passes `last + gap`. This is the production
+    * shape of streaming sessionization: output is append-only (safe
+    * for exactly-once file sinks), state tracks only OPEN sessions,
+    * and a session within the watermark horizon of the stream's head
+    * stays unemitted until it provably cannot reopen — the same
+    * closed-only discipline as the z8 append windows. */
+  def sessionizeAll(events: Dataset[SessionEvent],
+      gapMs: Long): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session can never
+            // reopen — emit it closed and drop the state
+            val st = state.get
+            state.remove()
+            Iterator(SessionRow(uid, st.start, st.count, st.last - st.start))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var st = state.getOption.getOrElse(
+              SessionState(0, sorted.head.ts.getTime, sorted.head.ts.getTime))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (t - st.last > gapMs) {
+                out += SessionRow(uid, st.start, st.count, st.last - st.start)
+                st = SessionState(0, t, t)
+              }
+              st = st.copy(count = st.count + 1, last = t)
+            }
+            state.update(st)
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            try state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
+            catch { case _: UnsupportedOperationException => () }
+            out.iterator
+          }
+      }
+  }
+
+  /** Run [[sessionizeAll]] to completion (AvailableNow → append-mode
+    * memory sink). Single-file source ⇒ one data batch emits every
+    * gap-closed session; the timeout batch then flushes open sessions
+    * whose `last + gap` the final watermark (max event time − 2 h)
+    * passed. Deterministic, fully DuckDB-oracled (z15). */
+  def runSessionizeAllOnce(spark: SparkSession, sfDir: String, gapMs: Long,
+      queryName: String = "event_sessions_all",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
+      nanosConf(spark)
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      import spark.implicits._
+      val evs = normalizeTs(spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[SessionEvent]
+      val q = sessionizeAll(evs, gapMs).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
   /** Run the sessionizer as a REAL stream to completion (AvailableNow →
     * update-mode memory sink): file-source read with watermark, custom
     * mapGroupsWithState state, event-time timeout eviction armed. The
