@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 import org.apache.spark.sql.Row
@@ -227,6 +227,30 @@ class ExtensionsSpec extends SparkSpec {
       assert(streamed.count() > 0)
       assert(streamed.except(batch).count() == 0)
       assert(batch.except(streamed).count() == 0)
+    }
+
+    it("stateful streams run unchanged on the RocksDB state store") {
+      // the 100 TB state backend: HDFS-backed stores keep state on the
+      // executor heap (fine for small state); RocksDB spills to local
+      // disk with incremental checkpointing — the provider a real
+      // deployment runs sessionization on. Same query, same results:
+      // the provider is pure infrastructure, and this pins that no
+      // graft state shape depends on the default provider's semantics.
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val rocks = EventStream.runSessionizeAllOnce(spark, sf,
+            gapMs = 6L * 3600 * 1000, queryName = "t_rocks")
+        val default = SparkEntry.queries("z15_stream_sessions_all")(spark, sf)
+        assert(rocks.count() > 0)
+        assert(rocks.except(default).count() == 0)
+        assert(default.except(rocks).count() == 0)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
 
     it("evicts idle users' session state via event-time timeout") {
