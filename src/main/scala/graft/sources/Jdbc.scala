@@ -19,12 +19,14 @@ object Jdbc {
 
   def write(df: DataFrame, url: String, table: String,
       mode: String = "overwrite", driver: String = DerbyDriver,
-      batchSize: Int = 1000): Unit =
-    df.write.format("jdbc")
+      batchSize: Int = 1000, columnTypes: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("driver", driver)
       .option("batchsize", batchSize)
-      .mode(mode).save()
+    columnTypes.foreach(w.option("createTableColumnTypes", _))
+    w.mode(mode).save()
+  }
 
   /** Parallel partitioned read over a numeric column's range. */
   def read(spark: SparkSession, url: String, table: String,
@@ -45,6 +47,55 @@ object Jdbc {
       .option("url", url).option("dbtable", table)
       .option("driver", driver)
       .load()
+
+  /** Idempotent key-upsert of one micro-batch into a JDBC table — the
+    * `foreachBatch` terminal of a streaming pipeline. The batch lands
+    * in a staging table (parallel JDBC write), then ONE transactional
+    * MERGE folds it into the target keyed by `keyCols`: a replayed
+    * micro-batch (restart recovery re-delivers the last batch;
+    * foreachBatch is at-least-once) overwrites identical rows instead
+    * of duplicating them, so the TABLE state is exactly-once. Target is
+    * created empty on first use. Scale shape: the stage write is
+    * executor-parallel and batched; only the MERGE statement runs on
+    * the driver connection (set-based, executes inside the warehouse). */
+  def upsertBatch(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], driver: String = DerbyDriver): Unit = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"keyCols $keyCols must be columns of ${df.columns.mkString(",")}")
+    val stage = s"${table}_stage"
+    // Derby's default mapping for StringType is CLOB, which MERGE
+    // cannot compare on — pin string columns to VARCHAR at creation
+    val varchars = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(1024)")
+    val colTypes = if (varchars.isEmpty) None else Some(varchars.mkString(", "))
+    write(df, url, stage, mode = "overwrite", driver = driver,
+      columnTypes = colTypes)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(
+        null, null, table.toUpperCase(java.util.Locale.ROOT), null)
+      val exists = meta.next()
+      meta.close()
+      if (!exists) write(df.limit(0), url, table, mode = "overwrite",
+        driver = driver, columnTypes = colTypes)
+      // Spark's JDBC writer creates QUOTED (case-sensitive, lowercase)
+      // column identifiers; unquoted references would fold to uppercase
+      // in the warehouse and miss them
+      def q(c: String) = "\"" + c + "\""
+      val cols = df.columns.toSeq
+      val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val set = cols.filterNot(keyCols.contains)
+        .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+      val merge =
+        s"""MERGE INTO $table t USING $stage s ON $on
+           |WHEN MATCHED THEN UPDATE SET $set
+           |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+           |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+      val st = conn.createStatement()
+      try st.executeUpdate(merge) finally st.close()
+    } finally conn.close()
+  }
 
   // Pay-once per (JVM, db, table): bounds of the partition column, cached
   // after the one-time Derby load so the steady-state query is write-free

@@ -313,6 +313,33 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Stream the append-mode windowed counts into a JDBC (Derby) table
+    * through `foreachBatch` + [[graft.sources.Jdbc.upsertBatch]] — the
+    * warehouse terminal of a streaming pipeline. foreachBatch delivery
+    * is at-least-once under restart recovery; the key-upsert makes the
+    * TABLE state exactly-once (a replayed batch overwrites identical
+    * rows). Returns the table read back. */
+  def runWindowedToJdbcOnce(spark: SparkSession, sfDir: String,
+      dbDir: String, table: String = "event_counts_jdbc",
+      queryName: String = "event_counts_jdbc_sink",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
+      import graft.sources.Jdbc
+      val url = Jdbc.derbyUrl(dbDir)
+      val q = windowedCounts(spark, sfDir)
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), round(col("total_value"), 4).as("total_value"))
+        .writeStream
+        .queryName(queryName)
+        .outputMode("append")
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          Jdbc.upsertBatch(batch, url, table, Seq("ws", "event_type")))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Jdbc.readAll(spark, url, table)
+    }
+
   /** One instrumented windowed-stream run, splitting wall-clock into
     * `start()` (source discovery, query planning, state-store init) vs
     * `awaitTermination()` (batch execution), plus the per-batch

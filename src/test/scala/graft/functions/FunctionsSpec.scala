@@ -252,5 +252,29 @@ class FunctionsSpec extends SparkSpec {
       assert(filtered.count() ==
         customers.filter(col("c_acctbal") > 5000).count())
     }
+
+    it("streams windowed counts into Derby idempotently (foreachBatch upsert)") {
+      val sf = "/root/testdata/sf0.001"
+      val dir = java.nio.file.Files.createTempDirectory("graft-derby-fb")
+        .resolve("db").toString
+      import graft.streaming.EventStream
+      // what the append stream emits: windows closed by the watermark
+      val expected = EventStream
+        .runWindowedAppendOnce(spark, sf, "t_fb_expected")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), round(col("total_value"), 4).as("total_value"))
+      val once = EventStream.runWindowedToJdbcOnce(spark, sf, dir,
+        queryName = "t_fb_1")
+      assert(once.count() == expected.count())
+      // a full REPLAY of the stream (fresh query, same data — the
+      // at-least-once worst case) must leave the table unchanged:
+      // the key-upsert makes table state exactly-once
+      val twice = EventStream.runWindowedToJdbcOnce(spark, sf, dir,
+        queryName = "t_fb_2")
+      assert(twice.count() == expected.count(),
+        "replayed stream duplicated rows in the JDBC sink")
+      assert(twice.except(expected).count() == 0)
+      assert(expected.except(twice).count() == 0)
+    }
   }
 }
