@@ -41,18 +41,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("failed").asInt == 0)
     // 85+ 1dp-rendered queries no longer fit the 1870 B window whole, so
     // the drop path engaging is EXPECTED now (round 7 re-size decision):
-    // the labeled degrade keeps the slowest queries + the full-suite
+    // the labeled degrade keeps the SLOWEST queries + the full-suite
     // total, and BENCH_LOCAL.json still records every query at 3dp (and
-    // is committed per round, so nothing is lost). Bound the damage
-    // PROPORTIONALLY — at ~21 B/entry the 1870 B window holds ~82
-    // entries, so each query added past that drops one more tail entry;
-    // a fixed cap would re-trip on every addition. >10% dropped means
-    // the rendering (not the query count) has outgrown the design.
+    // is committed per round, so nothing is lost). The invariant that
+    // matters is therefore CAPACITY, not drop count (every query added
+    // past the window's ~80-entry capacity drops exactly one more tail
+    // entry — a drop-count cap would re-trip on each addition while
+    // catching nothing): the window must stay full of slowest-first
+    // entries. A rendering regression that bloats per-entry bytes is
+    // what shrinks the kept count — that is what this guards.
     val dropped = Option(node.get("dropped")).map(_.asInt).getOrElse(0)
     assert(node.get("queries").size + dropped == names.size)
-    assert(dropped <= math.max(6, names.size / 10),
-      s"$dropped/${names.size} queries fell off the ${Bench.Budget} B " +
-        "budget — shrink the rendering or re-measure the tail window")
+    assert(node.get("queries").size >= 75,
+      s"only ${node.get("queries").size} entries fit the ${Bench.Budget} B " +
+        "budget — the per-entry rendering has bloated; shrink it")
   }
 
   test("a parseable headline line survives a 2000-byte bounded tail capture") {
