@@ -304,6 +304,39 @@ object ExtensionOps {
                        + 3600000 <= wm.w_ms
               ORDER BY 1, 2""")),
 
+    // The BUILT-IN session_window as a real append-mode STREAM: the
+    // declarative twin of z15 (Spark's gap-merge rule: exactly-gap
+    // merges, mirrored as `>= gap` breaks like z10). A session emits
+    // once when the watermark (max event ms − 2 h) passes its end
+    // (last + gap) and its state evicts; sessions ending inside the
+    // final horizon stay open and unemitted.
+    QueryDef(
+      "z16_stream_session_window",
+      (s, d) => EventStream.runSessionWindowOnce(s, d,
+          queryName = s"graft_sess_win_${graft.etl.ScaleUtils.pathTag(d)}")
+        .orderBy("user_id", "s_us"),
+      Some("""WITH e AS (SELECT user_id,
+                       epoch_ns(ts) // 1000 AS us FROM events),
+              o AS (SELECT user_id, us,
+                      CASE WHEN us - lag(us) OVER
+                             (PARTITION BY user_id ORDER BY us)
+                           >= 21600000000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              s AS (SELECT user_id, us,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+                    FROM o),
+              sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS l_us,
+                              count(*) AS n
+                       FROM s GROUP BY 1, 2),
+              wm AS (SELECT (epoch_ns(max(ts)) // 1000000 - 7200000) * 1000
+                       AS w_us FROM events)
+              SELECT user_id, s_us, n
+              FROM sess, wm
+              WHERE l_us + 21600000000 <= wm.w_us
+              ORDER BY 1, 2""")),
+
     // FULL-history append-mode streaming sessionization
     // (flatMapGroupsWithState): every gap-closed session emits in-batch;
     // open sessions emit only when the watermark passes last+gap

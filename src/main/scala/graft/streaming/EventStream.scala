@@ -313,6 +313,35 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** The BUILT-IN `session_window` as a real append-mode stream: gap-
+    * merged per-user sessions, each emitted exactly once when the
+    * watermark passes its END (last event + gap) and its state evicted
+    * — the declarative twin of [[sessionizeAll]] with Spark's merge
+    * rule (a gap of exactly `gap` merges; see z10). Sessions ending
+    * inside the final watermark horizon stay open and unemitted. */
+  def runSessionWindowOnce(spark: SparkSession, sfDir: String,
+      queryName: String = "event_session_windows",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
+      nanosConf(spark)
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val q = normalizeTs(spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("s_us"),
+          col("n"))
+        .writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
   /** Stream the append-mode windowed counts into a JDBC (Derby) table
     * through `foreachBatch` + [[graft.sources.Jdbc.upsertBatch]] — the
     * warehouse terminal of a streaming pipeline. foreachBatch delivery
