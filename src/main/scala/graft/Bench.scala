@@ -43,13 +43,24 @@ object Bench {
   private def f(v: Double, d: Int): String =
     s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** JSON string escape for query names — names are code-controlled
+   * today, but a stray quote/backslash/control char must corrupt a name,
+   * never the line the driver and BenchLineSpec parse. */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Render one bench line. `total` defaults to the sum over `results`;
    * pass it explicitly when `results` is a kept subset (drop path) so the
    * headline "value" keeps reporting the full-suite total. */
   private[graft] def renderLine(results: Seq[(String, Double)], sf: String,
                                 decimals: Int, extra: String = "",
                                 total: Double = Double.NaN): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, decimals) }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f(v, decimals) }
       .mkString("{", ",", "}")
     val t = if (total.isNaN) results.map(_._2).sum else total
     s"""{"metric":"total","value":${f(t, 3)},"unit":"sec","queries":$qs$extra,"sf":"$sf"}"""
@@ -86,7 +97,7 @@ object Bench {
     * applies; the compact line only counts them. Empty when none. */
   private[graft] def failedNamesJson(failed: Seq[String]): String =
     if (failed.isEmpty) ""
-    else failed.map(n => "\"" + n + "\"")
+    else failed.map(jstr)
       .mkString(""","failed_queries":[""", ",", "]")
 
   def main(args: Array[String]): Unit = {

@@ -305,8 +305,10 @@ object ExtensionOps {
               ORDER BY 1, 2""")),
 
     // The BUILT-IN session_window as a real append-mode STREAM: the
-    // declarative twin of z15 (Spark's gap-merge rule: exactly-gap
-    // merges, mirrored as `>= gap` breaks like z10). A session emits
+    // declarative twin of z15. Session windows are half-open
+    // [ts, ts+gap), so two events EXACTLY gap apart do not overlap and
+    // a gap of exactly 6 h starts a new session — same convention as
+    // z10, mirrored as `>= gap` breaks in the oracle. A session emits
     // once when the watermark (max event ms − 2 h) passes its end
     // (last + gap) and its state evicts; sessions ending inside the
     // final horizon stay open and unemitted.
@@ -344,8 +346,10 @@ object ExtensionOps {
     // horizon stay unemitted — the closed-only discipline of z8, now
     // for CUSTOM state. Oracle: the z5/z9 session derivation, emitted
     // iff another session follows for the same user (gap-closed) OR
-    // last + gap <= final watermark (timeout-closed; Spark fires
-    // timeouts at armed-ts <= watermark, mirroring z8's `end <= wm`).
+    // last + gap < final watermark (timeout-closed; Spark filters
+    // timed-out state with a STRICT `timeoutTimestamp < watermark` —
+    // armed == watermark stays open, pinned by the ExtensionsSpec
+    // boundary test — unlike the built-in windows' `end <= wm`).
     QueryDef(
       "z15_stream_sessions_all",
       (s, d) => EventStream.runSessionizeAllOnce(s, d,
@@ -372,7 +376,7 @@ object ExtensionOps {
               FROM sess, wm
               WHERE sid < (SELECT max(sid) FROM sess s2
                            WHERE s2.user_id = sess.user_id)
-                 OR l_ms + 21600000 <= wm.w
+                 OR l_ms + 21600000 < wm.w
               ORDER BY 1, 2""")),
 
     // Semi-structured payload extraction: the events `props` column is

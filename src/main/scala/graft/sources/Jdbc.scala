@@ -57,11 +57,26 @@ object Jdbc {
     * of duplicating them, so the TABLE state is exactly-once. Target is
     * created empty on first use. Scale shape: the stage write is
     * executor-parallel and batched; only the MERGE statement runs on
-    * the driver connection (set-based, executes inside the warehouse). */
+    * the driver connection (set-based, executes inside the warehouse).
+    *
+    * Constraints (validated up front, not silently truncated):
+    *  - string columns are pinned to `VARCHAR(1024)` at table creation
+    *    (Derby's default StringType mapping is CLOB, which MERGE cannot
+    *    compare on) — a row whose string value exceeds 1024 chars fails
+    *    the stage insert; widen here if a wider payload ever needs it;
+    *  - table/column names are interpolated into the MERGE text, so
+    *    they must match `[A-Za-z_][A-Za-z0-9_]*` — enforced by require
+    *    below rather than attempting SQL-injection-proof quoting. */
   def upsertBatch(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], driver: String = DerbyDriver): Unit = {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"keyCols $keyCols must be columns of ${df.columns.mkString(",")}")
+    val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+    (table +: df.columns.toSeq).foreach { n =>
+      require(ident.matches(n),
+        s"identifier '$n' is interpolated into MERGE SQL and must match " +
+          "[A-Za-z_][A-Za-z0-9_]*")
+    }
     val stage = s"${table}_stage"
     // Derby's default mapping for StringType is CLOB, which MERGE
     // cannot compare on — pin string columns to VARCHAR at creation

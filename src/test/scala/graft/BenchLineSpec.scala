@@ -124,4 +124,13 @@ class BenchLineSpec extends AnyFunSuite {
     val n = mapper.readTree(line)
     assert(math.abs(n.get("value").asDouble - results.map(_._2).sum) < 1e-3)
   }
+
+  test("hostile query names cannot corrupt the JSON line") {
+    val evil = "q\"ev\\il\nq"
+    val n = mapper.readTree(
+      Bench.renderLine(Seq(evil -> 1.0), "sf0.1", 2,
+        Bench.failedNamesJson(Seq(evil))))
+    assert(n.get("queries").has(evil))
+    assert(n.get("failed_queries").get(0).asText == evil)
+  }
 }

@@ -287,6 +287,51 @@ class ExtensionsSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("pins the timeout firing boundary: armed-ts must be STRICTLY " +
+        "below the watermark") {
+      // FlatMapGroupsWithStateExec filters timed-out state with
+      // `timeoutTimestamp < watermark` (strict). A session whose
+      // last+gap exactly EQUALS the watermark therefore stays open —
+      // the z15 oracle must use `l_ms + gap < wm`, not `<=`. This spec
+      // pins the observed Spark behavior so the oracle convention is
+      // evidence, not folklore.
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ev(u: Long, ms: Long) = EventStream.SessionEvent(
+        u, new java.sql.Timestamp(ms), "view")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStream.SessionEvent]
+      val q = EventStream.sessionizeAll(
+          mem.toDS().withWatermark("ts", "0 seconds"), gapMs = 1000)
+        .writeStream.format("memory").queryName("t_boundary")
+        .outputMode("append").start()
+      try {
+        // batch 1: user 1's lone event at t=1000 ms arms its timeout at
+        // last+gap = 2000 ms (watermark at arming is 0, no clamp)
+        mem.addData(ev(1, 1000))
+        q.processAllAvailable()
+        // batch 2: user 2 advances max event time to exactly 2000 ms.
+        // Spark evaluates timeouts against the EVICTION watermark — the
+        // one updated by this very batch's data (post-3.4 watermark
+        // split) — so equality is tested here: armed == 2000 == wm.
+        mem.addData(ev(2, 2000))
+        q.processAllAvailable()
+        val atEq = spark.table("t_boundary")
+          .as[EventStream.SessionRow].collect()
+        assert(!atEq.exists(_.user_id == 1),
+          s"armed == watermark must not fire: ${atEq.mkString(", ")}")
+        // batch 3 advances the eviction watermark to 2001 > armed: now
+        // it fires and the session emits exactly once
+        mem.addData(ev(2, 2001))
+        q.processAllAvailable()
+        val after = spark.table("t_boundary")
+          .as[EventStream.SessionRow].collect()
+        assert(after.count(_.user_id == 1) == 1 &&
+            after.exists(o => o.user_id == 1 && o.n_events == 1),
+          s"armed < watermark must fire once: ${after.mkString(", ")}")
+      } finally q.stop()
+    }
+
     it("sessionizes per-user events with custom state") {
       import spark.implicits._
       val evs = EventStream.readEvents(spark, sf)

@@ -276,5 +276,20 @@ class FunctionsSpec extends SparkSpec {
       assert(twice.except(expected).count() == 0)
       assert(expected.except(twice).count() == 0)
     }
+
+    it("rejects identifiers that would be unsafe to interpolate into MERGE") {
+      import spark.implicits._
+      val df = Seq((1L, "a")).toDF("k", "v\"bad")
+      val e = intercept[IllegalArgumentException] {
+        Jdbc.upsertBatch(df, "jdbc:derby:memory:unused;create=true",
+          "t_ok", Seq("k"))
+      }
+      assert(e.getMessage.contains("interpolated"))
+      val e2 = intercept[IllegalArgumentException] {
+        Jdbc.upsertBatch(Seq((1L, "a")).toDF("k", "v"),
+          "jdbc:derby:memory:unused;create=true", "bad-table", Seq("k"))
+      }
+      assert(e2.getMessage.contains("interpolated"))
+    }
   }
 }
