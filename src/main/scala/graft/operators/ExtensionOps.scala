@@ -473,6 +473,29 @@ object ExtensionOps {
                      CAST(round((doc_id % 50 + 20) / 8.0, 0) AS BIGINT)
                        AS dec_duration_ms,
                      sqrt(sum((s/32768.0)*(s/32768.0)) / count(*)) AS rms
-              FROM smp GROUP BY doc_id ORDER BY asset_id"""))
+              FROM smp GROUP BY doc_id ORDER BY asset_id""")),
+
+    // REAL-codec round trip, video arm: paint per-frame grayscale
+    // pixels from integer rules, JPEG-encode each frame, concatenate
+    // into an actual MJPEG stream, split it back by SOI/EOI marker
+    // scan and decode every frame through javax.imageio. JPEG is
+    // LOSSY, so unlike z11/z12 the pixel values are gold-tested (luma
+    // tolerance, ExtensionsSpec) rather than oracled — but the
+    // container structure is bit-exact: frame count and per-frame
+    // decoded dimensions are integer functions of the rules, which
+    // DuckDB recomputes from the rules alone. Closes the last
+    // multimodal stub: image (z11), audio (z12), video (z17) all
+    // exercise real JDK codecs against the oracle gate.
+    QueryDef(
+      "z17_video_roundtrip",
+      (s, d) => Multimodal.videoRoundTrip(T.documents(s, d))
+        .orderBy("asset_id", "frame_idx"),
+      Some("""SELECT doc_id AS asset_id,
+                     k.range AS frame_idx,
+                     CAST((doc_id + k.range) % 9 + 4 AS INT) AS dec_width,
+                     CAST((doc_id + 2*k.range) % 7 + 4 AS INT) AS dec_height
+              FROM documents, range(5) k
+              WHERE doc_id % 3 = 2 AND k.range < doc_id % 4 + 2
+              ORDER BY 1, 2"""))
   )
 }

@@ -158,6 +158,62 @@ class ExtensionsSpec extends SparkSpec {
         assert(math.abs(r.getAs[Double]("mean_intensity") - stub._3) < 1e-12)
       }
     }
+
+    it("decodes a REAL MJPEG stream frame-by-frame and falls back to " +
+        "the stub on non-video cells") {
+      // golden: three grayscale gradient frames of DIFFERENT dims,
+      // JPEG-encoded and concatenated — a real MJPEG stream
+      val dims = Seq((16, 12), (8, 10), (20, 6))
+      val bos = new java.io.ByteArrayOutputStream()
+      val painted = dims.zipWithIndex.map { case ((w, h), k) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var sum = 0.0
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = (x * 11 + y * 17 + k * 40) % 256
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          sum += v / 255.0
+        }
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        sum / (w * h)
+      }
+      val mjpeg = bos.toByteArray
+      // marker scan finds exactly the frame boundaries (0xFF bytes in
+      // entropy-coded data are FF00-stuffed, so no false EOI splits)
+      val slices = Multimodal.VideoCodec.splitFrames(mjpeg)
+      assert(slices.size == 3)
+      assert(slices.map(_.length).sum == mjpeg.length,
+        "frames must tile the stream exactly (writer emits no padding)")
+      val Some(frames) = Multimodal.VideoCodec.decodeFrames(mjpeg)
+      assert(frames.map(f => (f._1, f._2)) == dims)
+      // JPEG is lossy: grayscale mean luma within 4/255 of the paint
+      frames.zip(painted).foreach { case ((_, _, luma), exp) =>
+        assert(math.abs(luma - exp) < 4.0 / 255.0, s"luma $luma vs $exp")
+      }
+      // through the distributed operator: real bytes in a binary cell
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, "video", mjpeg, Row("video/x-motion-jpeg", 16, 12, 0, 0L))),
+        Multimodal.assetSchema)
+      val out = Multimodal.decodeVideo(df).collect()(0)
+      assert(out.getAs[Int]("n_frames") == 3)
+      assert(out.getAs[Int]("f0_width") == 16)
+      assert(out.getAs[Int]("f0_height") == 12)
+      // non-video bytes: codec declines, operator keeps stub semantics
+      // (n_frames = 0 marks the undecodable arm loudly)
+      assert(Multimodal.VideoCodec
+        .decodeFrames("not a video".getBytes("UTF-8")).isEmpty)
+      val viaOp = Multimodal.decodeVideo(assets.limit(5)).collect()
+      viaOp.foreach { r =>
+        val stub = Multimodal.StubCodec.decodeImage(
+          r.getAs[Array[Byte]]("content"),
+          r.getAs[Row]("meta").getAs[Int]("width"),
+          r.getAs[Row]("meta").getAs[Int]("height"))
+        assert(r.getAs[Int]("n_frames") == 0)
+        assert(r.getAs[Int]("f0_width") == stub._1)
+        assert(math.abs(r.getAs[Double]("mean_luma") - stub._3) < 1e-12)
+      }
+    }
   }
 
   describe("Structured Streaming over events") {
@@ -285,6 +341,74 @@ class ExtensionsSpec extends SparkSpec {
         assert(stateRows == 1,
           s"expected 1 live state row after eviction, got $stateRows")
       } finally q.stop()
+    }
+
+    it("recovers z15 sessionization across a checkpoint restart " +
+        "(exactly-once file sink, RocksDB state)") {
+      // The deployment claim behind every streaming query: state +
+      // sink survive a stop/restart with no loss and no duplicates.
+      // Drive: split the corpus in two by event time, run the z15
+      // sessionizer to completion on half 1 (real checkpoint dir, real
+      // parquet sink), then "restart" — a brand-new query object over
+      // the same checkpoint — after half 2 lands. The combined sink
+      // must equal the single-run z15 result exactly: sessions closed
+      // by run 1's watermark stay closed (half 2 is strictly later, so
+      // a >8 h-old session can never reopen across a 6 h gap), open
+      // state is restored from the checkpoint, and the file sink's
+      // _spark_metadata commit log dedups any replayed batch.
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-restart")
+      val srcDir = tmp.resolve("src").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val outDir = tmp.resolve("out").toString
+      val gapMs = 6L * 3600 * 1000
+      val events = EventStream.readEvents(spark, sf)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      // split at the median event time (approxQuantile needs a numeric
+      // column, so cut on exact integer micros)
+      val cut = events.select(unix_micros(col("ts")).as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0)(0)
+      events.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val schema = events.schema
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      def runToCompletion(): Unit = {
+        import spark.implicits._
+        val evs = spark.readStream.schema(schema).parquet(srcDir)
+          .withWatermark("ts", "2 hours")
+          .as[EventStream.SessionEvent]
+        val q = EventStream.sessionizeAll(evs, gapMs).writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try {
+        runToCompletion() // run 1: half the corpus, checkpoint persists
+        events.filter(unix_micros(col("ts")) > cut).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        runToCompletion() // run 2: fresh query, same checkpoint = restart
+      } finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      val restarted = spark.read.parquet(outDir)
+      val single = graft.SparkEntry.queries("z15_stream_sessions_all")(
+        spark, sf)
+      assert(restarted.count() == single.count(),
+        s"restart emitted ${restarted.count()} rows vs single-run " +
+          s"${single.count()}")
+      assert(restarted.except(single).count() == 0,
+        "restarted run emitted rows the single run did not (duplicate " +
+          "or corrupted session)")
+      assert(single.except(restarted).count() == 0,
+        "restarted run lost sessions the single run emitted")
     }
 
     it("pins the timeout firing boundary: armed-ts must be STRICTLY " +
