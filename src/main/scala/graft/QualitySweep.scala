@@ -9,9 +9,19 @@ import org.apache.spark.sql.SparkSession
   * budgets, same composition: search → retrain → per-subject recon →
   * embedding NB CV).
   *
-  * Usage: runMain graft.QualitySweep [nTrials] [epochScale] [mode]
+  * Usage: runMain graft.QualitySweep [nTrials] [epochScale] [mode] \
+  *          [archFilter] [groupFilter]
   *   mode = "grid"  (default): 1 arch (JISAE-O1) × all 20 datasets
-  *   mode = "archs": {CNC, JISAE, JISAE-O1, MOCSS} × 5-dataset slice
+  *   mode = "archs": all 8 families × 5-dataset difficulty slice
+  *   mode = "ref":   all 8 families × the reference's full 20-dataset
+  *          grid (AE_results.ipynb cell 26 publishes per-dataset
+  *          training-recon aggregates for exactly this grid) —
+  *          archFilter (comma-joined family names) and groupFilter
+  *          (comma-joined group counts) select a slice so the 160-run
+  *          sweep can be split across parallel JVMs; results are
+  *          JVM-split-invariant because every run is a pure function
+  *          of (dataset, family, seed) — proven by the r7 cross-boot
+  *          reproduction.
   */
 object QualitySweep {
 
@@ -31,9 +41,12 @@ object QualitySweep {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val archFilter = args.lift(3).map(_.split(",").toSet)
+    val groupFilter = args.lift(4).map(_.split(",").map(_.toInt).toSet)
+
     val archs: Seq[(String, (Int, Int, Double) => graft.nn.ArchZoo.Arch)] =
       mode match {
-        case "archs" => Seq(
+        case "archs" | "ref" => Seq(
           // all 8 reference families (CNC_AE_model_selection.py and its 7
           // sibling scripts) through the same search→retrain→recon→NB path
           ("CNC_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.cnc(a, b)),
@@ -48,6 +61,9 @@ object QualitySweep {
           ("JISAE-O1", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO1(a, b, m)))
       }
     val files = mode match {
+      case "ref" => datasets(
+        Seq(2, 3, 4, 5).filter(g => groupFilter.forall(_.contains(g))),
+        Seq("0.2", "0.4", "0.6", "0.8", "1"))
       case "archs" => Seq(
         s"$dataDir/miRNA_seq_2_groups_1_diff.csv",
         s"$dataDir/miRNA_seq_3_groups_0.6_diff.csv",
@@ -57,9 +73,11 @@ object QualitySweep {
       case _ => datasets(Seq(2, 3, 4, 5), Seq("0.2", "0.4", "0.6", "0.8", "1"))
     }
 
+    val selected = archs.filter { case (n, _) =>
+      archFilter.forall(_.contains(n)) }
     println("[qsweep] arch,dataset,best_trial,best_cv_loss,retrain_first," +
       "retrain_last,recon_mean,recon_std,nb_acc_mean")
-    for ((archName, mk) <- archs; f <- files) {
+    for ((archName, mk) <- selected; f <- files) {
       val name = f.split("/").last.stripPrefix("miRNA_seq_")
         .stripSuffix("_diff.csv")
       val t0 = System.nanoTime()

@@ -236,29 +236,53 @@ object SimilarityOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Multiplicative scramble used to pick which `capPerBucket` members
+    * represent an oversized LSH bucket — deterministic, id-order-
+    * decorrelated, and exactly replayable in ANSI SQL (`(vec_id *
+    * 2654435761) % 1048573`; Knuth's 2^32 golden-ratio multiplier, a
+    * Mersenne-ish prime modulus). Exact up to vec_id ≈ 3.4e9, where the
+    * product would overflow Long — guard at the call site if ids ever
+    * exceed that. */
+  private def bucketScramble(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(1048573L))
+
   /** Multi-table LSH ANN: each of `seeds.length` independent hash tables
     * buckets every vector by `nBits` hyperplane sign bits; candidate
     * pairs share a (table, bucket) key; exact cosine + per-query top-k
     * runs over the deduped candidate union. One posexplode fan-out (L×
     * rows, L small), one hash-shuffle on the uniform (table, bucket)
     * key — never all-pairs. `maxQid` restricts the query side (None =
-    * every vector, the dedup/knn-graph shape). */
+    * every vector, the dedup/knn-graph shape).
+    *
+    * SKEW GUARD (`capPerBucket`, the ANN twin of the dedup banding's
+    * boilerplate cap): a dominant near-duplicate embedding cluster
+    * sends ALL its members to the same (tab, bucket) in every table,
+    * and the within-bucket self-join degrades to O(m²) on that bucket.
+    * The NEIGHBOR side of the join is therefore truncated to the first
+    * `capPerBucket` members per (tab, bucket) in [[bucketScramble]]
+    * order — candidate pairs per bucket drop to m·cap (linear), every
+    * query still gets candidates (the query side is never truncated),
+    * and inside a near-dup bucket any cap-sized subset scores cos ≈ 1,
+    * so top-k quality survives. Physical shape: the rank plans as a
+    * WindowGroupLimit (top-cap per bucket held incrementally — never a
+    * full bucket sort; PlanSpec guards it). When the planner picks a
+    * shuffle join on (tab, bucket) — the big-corpus regime the cap
+    * exists for — the window's hash partitioning is the join's own, so
+    * the cap adds no net exchange; under a broadcast join (small
+    * corpus) it costs one n·L-row exchange on the build side, noise at
+    * that scale. Default 4× the target bucket occupancy, so healthy
+    * buckets (~64) are never touched. */
   def lshTopK(emb: DataFrame, k: Int, maxQid: Option[Long] = None,
       seeds: Seq[Long] = SimilarityOps.defaultSeeds,
-      dims: Int = EmbeddingDim, cacheKey: Option[String] = None): DataFrame = {
+      dims: Int = EmbeddingDim, cacheKey: Option[String] = None,
+      capPerBucket: Int = 256): DataFrame = {
     val n = cacheKey.fold(emb.count())(kk => cachedCount(kk, emb))
     val nBits = scaledLshBits(n)
     val e = cacheKey.fold(bucketedFrame(emb, nBits, seeds, dims))(kk =>
       cachedBucketedFrame(kk, emb, nBits, seeds, dims))
-    val a = maxQid.fold(e)(m => e.filter(col("vec_id") < m))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("tab"), col("bucket"))
-    val b = e.select(col("vec_id").as("nid"), col("embedding"),
-      col("tab"), col("bucket"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))
-    a.join(b, Seq("tab", "bucket"))
-      .filter(col("qid") =!= col("nid"))
+    lshCandidatePairs(e, maxQid, capPerBucket)
       .select(col("qid"), col("nid"),
         round(fastCosine(col("qe"), col("embedding")), 4).as("cos_sim"))
       .distinct() // collapse multi-table duplicates (cos is deterministic)
@@ -266,6 +290,25 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select("qid", "nid", "cos_sim")
       .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+  }
+
+  /** The raw within-bucket candidate join of [[lshTopK]] (pre-cosine,
+    * pre-distinct), exposed so the skew spec can COUNT the work the cap
+    * bounds: ≤ n·L·capPerBucket rows regardless of bucket skew. */
+  private[operators] def lshCandidatePairs(e: DataFrame,
+      maxQid: Option[Long], capPerBucket: Int): DataFrame = {
+    val a = maxQid.fold(e)(m => e.filter(col("vec_id") < m))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tab"), col("bucket"))
+    val bw = Window.partitionBy("tab", "bucket")
+      .orderBy(bucketScramble(col("nid")), col("nid"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding"),
+      col("tab"), col("bucket"))
+      .withColumn("brk", row_number().over(bw))
+      .filter(col("brk") <= capPerBucket)
+      .drop("brk")
+    a.join(b, Seq("tab", "bucket"))
+      .filter(col("qid") =!= col("nid"))
   }
 
   /** The embeddings frame the IVF/PQ queries operate on: (vec_id,
@@ -653,12 +696,20 @@ object SimilarityOps {
       // Fully oracled (round 5): the seeded hyperplanes are plan-time
       // constants, so the oracle simply inlines the same literal matrix
       // and replays bucketing → banded self-join → distinct → cosine →
-      // per-query top-3 in SQL.
+      // per-query top-3 in SQL. The round-8 skew cap is replayed too:
+      // the neighbor side keeps only the first 256 bucket members in
+      // (vec_id * 2654435761) % 1048573 scramble order — integer-exact
+      // in both engines.
       Some(s"""WITH ${lshSigCtes(SimilarityOps.defaultSeeds)},
+              |sigb AS (SELECT vec_id, tab, bucket,
+              |           row_number() OVER (PARTITION BY tab, bucket
+              |             ORDER BY (vec_id * 2654435761) % 1048573,
+              |                      vec_id) AS brk
+              |         FROM sig),
               |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-              |         FROM sig a JOIN sig b
+              |         FROM sig a JOIN sigb b
               |           ON a.tab = b.tab AND a.bucket = b.bucket
-              |         WHERE a.vec_id <> b.vec_id),
+              |         WHERE a.vec_id <> b.vec_id AND b.brk <= 256),
               |scored AS (SELECT c.qid, c.nid,
               |             round(${cosineSql("ea.embedding", "eb.embedding")}, 4)
               |               AS cos_sim

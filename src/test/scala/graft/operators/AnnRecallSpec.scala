@@ -66,6 +66,57 @@ class AnnRecallSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  it("bounds candidate work on a boilerplate-skewed corpus " +
+      "(dominant near-dup cluster)") {
+    // Adversarial fixture, the ANN twin of TextOpsSpec's 20%-identical
+    // dedup corpus: 1200 vectors where 300 share one dominant direction
+    // (tiny deterministic per-id jitter) — every member lands in the
+    // SAME (tab, bucket) in every hash table, so the uncapped
+    // within-bucket self-join would pay >= L * 300^2 = 540k pairs from
+    // that bucket alone. The cap must bound candidates at n*L*cap and
+    // still return cos~1 neighbors for every cluster member.
+    import spark.implicits._
+    val dim = SimilarityOps.EmbeddingDim
+    val n = 1200
+    val nDup = 300
+    def jitter(id: Long, i: Int): Float =
+      (((id * 31 + i * 7) % 97) / 97000.0).toFloat
+    val rows = (0L until n.toLong).map { id =>
+      val e =
+        if (id < nDup) Array.tabulate(dim)(i =>
+          (if (i == 0) 1.0f else 0.0f) + jitter(id, i))
+        else Array.tabulate(dim)(i =>
+          (((id * 104729 + i * 7919) % 2001) / 1000.0 - 1.0).toFloat)
+      (id, e)
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val nBits = SimilarityOps.scaledLshBits(n)
+    val seeds = SimilarityOps.defaultSeeds
+    val e = SimilarityOps.bucketedFrame(emb, nBits, seeds, dim).cache()
+    // the skew is real: some (tab, bucket) holds the whole cluster
+    val maxBucket = e.groupBy("tab", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket >= nDup,
+      s"fixture failed to produce a dominant bucket (max=$maxBucket)")
+    val cap = 64
+    val capped = SimilarityOps.lshCandidatePairs(e, None, cap).count()
+    assert(capped <= n.toLong * seeds.length * cap,
+      s"candidate count $capped exceeds the n*L*cap bound")
+    assert(capped < seeds.length.toLong * nDup * nDup,
+      s"candidate count $capped not bounded below the uncapped " +
+        "dominant-bucket volume")
+    // quality survives the cap: every cluster member still finds a
+    // near-identical neighbor at the top
+    val top = SimilarityOps.lshTopK(emb, k = 1, dims = dim,
+      capPerBucket = cap)
+      .filter(col("qid") < nDup).cache()
+    assert(top.count() == nDup, "a capped query lost cluster members")
+    val minTop = top.agg(min("cos_sim")).head().getDouble(0)
+    assert(minTop >= 0.99,
+      f"top-1 cosine $minTop%.4f for a near-dup member — cap broke recall")
+    top.unpersist(); e.unpersist(); emb.unpersist()
+  }
+
   it("checkedEmbeddings fails LOUDLY on a width != EmbeddingDim corpus") {
     // the literal-replay oracles are generated at EmbeddingDim; a
     // regenerated corpus at another width must error, not silently

@@ -72,6 +72,10 @@ class PlanSpec extends SparkSpec {
     // is the 12x regression this guards against
     val p = planOf("y4_lsh_ann")
     assert(!p.toLowerCase.contains("xxhash64"), p)
+    // the skew cap must plan as a WindowGroupLimit (top-cap per bucket
+    // held incrementally) — a plain Window + Filter would fully sort
+    // every oversized bucket before discarding it
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   it("x13_simhash_neardup reads the persisted fingerprint frame (no re-tokenize)") {
