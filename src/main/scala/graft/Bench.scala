@@ -100,6 +100,28 @@ object Bench {
     else failed.map(jstr)
       .mkString(""","failed_queries":[""", ",", "]")
 
+  /** Queries whose steady-state timing reads a pay-once persisted
+   * fixture (built in the untimed pre-pass): the bucketed table layout
+   * (j6/j7), the shingle / span-hash / simhash-band / verified-pair
+   * frames (x6 x8 x13 x16 x17 x23 x29), the persisted LSH signature
+   * frame (x11 x26 y4), and the fitted IVF centroids / PQ codebooks
+   * (y5 y6 y7). Their numbers are cached-artifact-read + query work —
+   * deliberate (at 100 TB those artifacts amortize; the steady-state
+   * number is the one that scales); every other query's timing is
+   * fixture-free. Emitted as `"fixture_backed"` in the full-precision
+   * line so BENCH_LOCAL.json documents which is which; membership is
+   * spec-checked against the real query map (BenchLineSpec). */
+  private[graft] val FixtureBacked: Seq[String] = Seq(
+    "j6_union_all", "j7_bucketed_join",
+    "x6_minhash_dedup", "x8_ngram_jaccard", "x11_embed_neardup",
+    "x13_simhash_neardup", "x16_dup_components", "x17_contamination",
+    "x23_dup_spans", "x26_semantic_components", "x29_curation_pipeline",
+    "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann")
+
+  private[graft] def fixtureBackedJson: String =
+    FixtureBacked.map(jstr)
+      .mkString(""","fixture_backed":[""", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -151,7 +173,7 @@ object Bench {
     }
     val extraFailed = s""","failed":${failed.size}"""
     val full = renderLine(results, sfName, 3,
-      extraFailed + failedNamesJson(failed.toSeq))
+      extraFailed + failedNamesJson(failed.toSeq) + fixtureBackedJson)
     println(full)
     if (failed.nonEmpty)
       System.err.println(s"bench failures: ${failed.mkString(", ")}")

@@ -125,6 +125,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(n.get("value").asDouble - results.map(_._2).sum) < 1e-3)
   }
 
+  test("fixture_backed names all exist in the query map and render as JSON") {
+    val qs = graft.SparkEntry.queries.keySet
+    val ghosts = Bench.FixtureBacked.filterNot(qs.contains)
+    assert(ghosts.isEmpty,
+      s"fixture_backed lists queries that do not exist: $ghosts")
+    val n = mapper.readTree(
+      Bench.renderLine(results, "sf0.1", 3, Bench.fixtureBackedJson))
+    assert(n.get("fixture_backed").size == Bench.FixtureBacked.size)
+  }
+
   test("hostile query names cannot corrupt the JSON line") {
     val evil = "q\"ev\\il\nq"
     val n = mapper.readTree(

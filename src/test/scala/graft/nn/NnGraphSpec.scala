@@ -132,6 +132,16 @@ class NnGraphSpec extends SparkSpec {
             > Trainer.DefaultGradSliceBytes, s"paramCount=$p over-sliced")
       }
       assert(Trainer.gradChunksFor(45_000_000L) == 6)
+      // the REAL widest family at the exact TCGA widths: MOCSS at
+      // (20531, 1046) is 97.2 M params — auto-slicing must engage with
+      // 12 slices of <= 64 MiB (GradSliceProof measured the bound:
+      // sliced completes at -Xmx8g where the monolithic reduce OOMs)
+      val mocss = graft.nn.ArchZoo.mocss(20531, 1046, 1.0).model
+      assert(mocss.paramCount == 97_169_042L, s"=${mocss.paramCount}")
+      val tcgaChunks = Trainer.gradChunksFor(mocss.paramCount)
+      assert(tcgaChunks == 12)
+      assert((mocss.paramCount + tcgaChunks - 1) / tcgaChunks * 8
+        <= Trainer.DefaultGradSliceBytes)
       // a genuinely-wide layer driven through the AUTO path: a tiny
       // slice budget forces many sequential slice reductions, and the
       // result still matches the whole-gradient first epoch exactly
