@@ -16,9 +16,11 @@ import org.apache.spark.sql.SparkSession
   *   mode = "ref":   all 8 families × the reference's full 20-dataset
   *          grid (AE_results.ipynb cell 26 publishes per-dataset
   *          training-recon aggregates for exactly this grid) —
-  *          archFilter (comma-joined family names) and groupFilter
-  *          (comma-joined group counts) select a slice so the 160-run
-  *          sweep can be split across parallel JVMs; results are
+  *          archFilter (comma-joined family names), groupFilter
+  *          (comma-joined group counts) and diffFilter (arg 5,
+  *          comma-joined differential levels, e.g. "0.6,0.8,1")
+  *          select a slice so the 160-run sweep can be split across —
+  *          and resumed on — parallel JVMs; results are
   *          JVM-split-invariant because every run is a pure function
   *          of (dataset, family, seed) — proven by the r7 cross-boot
   *          reproduction.
@@ -43,6 +45,7 @@ object QualitySweep {
 
     val archFilter = args.lift(3).map(_.split(",").toSet)
     val groupFilter = args.lift(4).map(_.split(",").map(_.toInt).toSet)
+    val diffFilter = args.lift(5).map(_.split(",").toSet)
 
     val archs: Seq[(String, (Int, Int, Double) => graft.nn.ArchZoo.Arch)] =
       mode match {
@@ -63,7 +66,8 @@ object QualitySweep {
     val files = mode match {
       case "ref" => datasets(
         Seq(2, 3, 4, 5).filter(g => groupFilter.forall(_.contains(g))),
-        Seq("0.2", "0.4", "0.6", "0.8", "1"))
+        Seq("0.2", "0.4", "0.6", "0.8", "1")
+          .filter(d => diffFilter.forall(_.contains(d))))
       case "archs" => Seq(
         s"$dataDir/miRNA_seq_2_groups_1_diff.csv",
         s"$dataDir/miRNA_seq_3_groups_0.6_diff.csv",
