@@ -342,10 +342,16 @@ private[sources] class MatPartitionReader(p: MatInputPartition,
     val in = fs.open(hp)
     try {
       if (m.compressed) {
+        // JVM arrays cap a single inflate at 2 GiB; the format itself
+        // allows 4 GiB. Reject loudly instead of overflowing toInt.
+        val need0 = m.dataOffset + m.rows * m.cols * m.itemSize
+        require(m.elementSize <= Int.MaxValue && need0 <= Int.MaxValue,
+          s"mat: compressed variable ${m.name} too large to inflate " +
+            s"in one buffer (${need0} B decoded); rewrite with " +
+            "do_compression=False for the splittable path")
         val raw = new Array[Byte](m.elementSize.toInt)
         in.readFully(m.elementOffset, raw)
-        val need = m.dataOffset + m.rows * m.cols * m.itemSize
-        val all = MatDataSource.inflate(raw, need.toInt)
+        val all = MatDataSource.inflate(raw, need0.toInt)
         val bb = ByteBuffer.wrap(all).order(ByteOrder.LITTLE_ENDIAN)
         var c = 0
         while (c < m.cols) {
