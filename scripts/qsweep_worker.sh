@@ -11,6 +11,6 @@ for slice in "$@"; do
   ARCH=$1; GRPS=$2; DIFFS=${3:-}
   echo "[worker] starting $ARCH groups=$GRPS diffs=${DIFFS:-all}" >> "$LOG"
   java -Xmx8g $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "$CP" graft.QualitySweep "${NTRIALS:-3}" "${EPOCHSCALE:-0.02}" ref "$ARCH" "$GRPS" $DIFFS >> "$LOG" 2>&1
+    -cp "$CP" graft.QualitySweep "${NTRIALS:-3}" "${EPOCHSCALE:-0.02}" "${MODE:-ref}" "$ARCH" "$GRPS" $DIFFS >> "$LOG" 2>&1
 done
 echo "[worker] ALL DONE" >> "$LOG"

@@ -24,6 +24,10 @@ import org.apache.spark.sql.SparkSession
   *          JVM-split-invariant because every run is a pure function
   *          of (dataset, family, seed) — proven by the r7 cross-boot
   *          reproduction.
+  *   mode = "reftest": all 8 families × 5_groups_1 ONLY — the one
+  *          dataset whose held-out TEST recon aggregate the reference
+  *          notebook publishes numerically (AE_results.ipynb cell 30);
+  *          appends test_recon_mean,test_recon_std to each line.
   */
 object QualitySweep {
 
@@ -49,7 +53,7 @@ object QualitySweep {
 
     val archs: Seq[(String, (Int, Int, Double) => graft.nn.ArchZoo.Arch)] =
       mode match {
-        case "archs" | "ref" => Seq(
+        case "archs" | "ref" | "reftest" => Seq(
           // all 8 reference families (CNC_AE_model_selection.py and its 7
           // sibling scripts) through the same search→retrain→recon→NB path
           ("CNC_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.cnc(a, b)),
@@ -64,6 +68,7 @@ object QualitySweep {
           ("JISAE-O1", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO1(a, b, m)))
       }
     val files = mode match {
+      case "reftest" => Seq(s"$dataDir/miRNA_seq_5_groups_1_diff.csv")
       case "ref" => datasets(
         Seq(2, 3, 4, 5).filter(g => groupFilter.forall(_.contains(g))),
         Seq("0.2", "0.4", "0.6", "0.8", "1")
@@ -95,10 +100,14 @@ object QualitySweep {
           .agg(org.apache.spark.sql.functions.avg("accuracy"))
           .head().getDouble(0)
         val secs = (System.nanoTime() - t0) / 1e9
+        val testCols =
+          if (mode == "reftest")
+            f",${res.testReconStats._1}%.4f,${res.testReconStats._2}%.4f"
+          else ""
         println(f"[qsweep] $archName,$name,${res.bestTrial}," +
           f"$bestLoss%.4f,${res.retrainLosses.head}%.4f," +
           f"${res.retrainLosses.last}%.4f,${res.reconStats._1}%.4f," +
-          f"${res.reconStats._2}%.4f,$nbAcc%.4f  (${secs}%.0fs)")
+          f"${res.reconStats._2}%.4f,$nbAcc%.4f$testCols  (${secs}%.0fs)")
       } catch {
         case e: Throwable =>
           println(s"[qsweep] $archName,$name,FAILED: ${e.getMessage}")

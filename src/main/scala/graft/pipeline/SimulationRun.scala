@@ -22,7 +22,7 @@ object SimulationRun {
 
   final case class RunResult(trials: DataFrame, bestTrial: Int,
       retrainLosses: Seq[Double], reconStats: (Double, Double),
-      nbCv: DataFrame)
+      nbCv: DataFrame, testReconStats: (Double, Double))
 
   def run(spark: SparkSession, path: String,
       mkArch: (Int, Int, Double) => ArchZoo.Arch,
@@ -33,9 +33,9 @@ object SimulationRun {
     val m = OmicsReader.readTransposed(spark, path)
     val labeled = LabelCodec.withDerivedLabel(
       m.data, LabelCodec.simulationLabelMap)
-    val train = Splits
+    val flagged = Splits
       .stratifiedFlag(labeled, "label", "sample_id", 0.8, 42)
-      .filter(col("is_train"))
+    val train = flagged.filter(col("is_train"))
     val scaled = Scalers.fitTransform(train)
     val width = scaled.select(size(col("features"))).head().getInt(0)
     val paired = scaled.select(
@@ -63,8 +63,23 @@ object SimulationRun {
     val nb = GaussianNB.crossValidate(
       inferred.select(col("sample_id"), col("label_idx"),
         col("embedding").as("features")), k = 5, seed = 2023)
+    // held-out 20%: the retrained model applied to the test split
+    // (reconloss_from_retrained_models.py:61-83; the published test
+    // aggregate is AE_results.ipynb cell 30). The scaler REFITS on the
+    // split it transforms — the reference's cell-81 quirk that
+    // Scalers.fitTransform reproduces for both splits.
+    val scaledTest = Scalers.fitTransform(flagged.filter(!col("is_train")))
+    val pairedTest = scaledTest.select(
+      col("sample_id"), col("label"), col("label_idx"),
+      slice(col("features"), 1, splitAt).as("x1"),
+      slice(col("features"), splitAt + 1, width - splitAt).as("x2"))
+    val tstats = Inference
+      .embedAndRecon(pairedTest, arch.model, retrained.params,
+        retrained.stats, arch.embed)
+      .agg(avg("recon_loss"), stddev_pop("recon_loss")).head()
     paired.unpersist()
     RunResult(search.trialsDf(spark), search.best.trial,
-      retrained.epochLosses, (stats.getDouble(0), stats.getDouble(1)), nb)
+      retrained.epochLosses, (stats.getDouble(0), stats.getDouble(1)), nb,
+      (tstats.getDouble(0), tstats.getDouble(1)))
   }
 }
