@@ -94,7 +94,16 @@ def load_logs(paths):
 
 def main():
     ref = load_reference()
-    eng, conflicts = load_logs(sorted(glob.glob('QUALITY_r8_*.log')))
+    # The band tables are defined over the STANDARD budget (nTrials=3,
+    # epochScale=0.02). The `_attr*` logs are the budget-attribution
+    # experiment (5x epochs / wider search) — intentionally different
+    # values, so they must not overwrite grid cells or register as B4
+    # splice mismatches. They get their own section below.
+    all_logs = sorted(glob.glob('QUALITY_r8_*.log'))
+    grid_logs = [p for p in all_logs if '_attr' not in p]
+    attr_logs = [p for p in all_logs if '_attr' in p]
+    eng, conflicts = load_logs(grid_logs)
+    attr, _ = load_logs(attr_logs)
     r7, _ = load_logs(['QUALITY_r7.log'])
 
     missing = [(f, d) for f in FAMILIES for d in DATASETS
@@ -181,6 +190,22 @@ def main():
         if max(FAMILIES, key=lambda f: ref[(f, d)][0]) == 'MOCSS')
     print(f'reference-side check: MOCSS is published recon max on '
           f'{ref_mocss_max}/20 datasets')
+
+    if attr:
+        print('\nBudget attribution (higher-budget re-runs vs the '
+              'standard-budget grid; published recon mean as the target):')
+        closer = 0
+        for (fam, d), (am, _astd, anb) in sorted(attr.items()):
+            pm = ref[(fam, d)][0]
+            gm, _gstd, gnb = eng.get((fam, d), (float('nan'),) * 3)
+            trend = (' recon->pub' if abs(am - pm) < abs(gm - pm) else '') + \
+                    (' nb->1.0' if anb > gnb else '')
+            closer += bool(trend.strip())
+            print(f'  {fam} {d}: grid recon {gm:.4f} nb {gnb:.4f} | '
+                  f'5x-budget recon {am:.4f} nb {anb:.4f} | '
+                  f'pub recon {pm:.3f}{trend or " (no move)"}')
+        print(f'  {closer}/{len(attr)} re-run cells moved toward the '
+              f'published values with budget')
     return 0 if not splice_bad else 1
 
 
