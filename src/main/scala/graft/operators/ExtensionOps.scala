@@ -496,6 +496,28 @@ object ExtensionOps {
                      CAST((doc_id + 2*k.range) % 7 + 4 AS INT) AS dec_height
               FROM documents, range(5) k
               WHERE doc_id % 3 = 2 AND k.range < doc_id % 4 + 2
+              ORDER BY 1, 2""")),
+
+    // Streaming dedup-at-ingest as a REAL stateful stream:
+    // dropDuplicatesWithinWatermark keyed on (user_id, event_type), state
+    // bounded by the 2 h watermark horizon instead of growing with the
+    // corpus — the exact-dedup-on-an-ingest-feed pattern of a training
+    // pipeline (batch twins: x4 exact-hash dedup, j4 union+distinct).
+    // Over a single AvailableNow micro-batch (one source file) no state
+    // expires mid-run, so exactly one row per distinct key is emitted;
+    // the survivor's other columns follow state-store input order, hence
+    // the query projects the key columns only, which makes the output
+    // the distinct key set — deterministic and DuckDB-oracled. 10 000
+    // events → 750 surviving keys on the test corpus, so the drop path
+    // does real work.
+    QueryDef(
+      "z18_stream_dedup",
+      (s, d) => EventStream.runDedupOnce(s, d,
+          queryName = s"graft_dedup_${graft.etl.ScaleUtils.pathTag(d)}",
+          keys = Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY 1, 2"""))
   )
 }

@@ -264,12 +264,19 @@ object EventStream {
   }
 
   /** Run the streaming dedup to completion (AvailableNow) into an
-    * in-memory table; returns the deduplicated rows. */
+    * in-memory table; returns the deduplicated rows. Exactly one row per
+    * distinct key survives a single-batch run (the events corpus is one
+    * file, and AvailableNow admits it in one micro-batch, so no state
+    * expires mid-run and within-batch state checks drop every duplicate
+    * after the first); WHICH physical row survives per key follows state
+    * store input order, so deterministic consumers must project the key
+    * columns only. */
   def runDedupOnce(spark: SparkSession, sfDir: String,
       queryName: String = "event_dedup",
-      stateShards: Int = DefaultStateShards): DataFrame =
+      stateShards: Int = DefaultStateShards,
+      keys: Seq[String] = Seq("user_id", "event_type", "ts")): DataFrame =
     withStateShards(spark, stateShards) {
-      val q = dedupStream(spark, sfDir).writeStream
+      val q = dedupStream(spark, sfDir, keys).writeStream
         .format("memory").queryName(queryName)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())

@@ -264,6 +264,20 @@ class ExtensionsSpec extends SparkSpec {
       assert(deduped.except(batch).count() == 0)
     }
 
+    it("pair-keyed streaming dedup (z18) emits exactly the distinct key set") {
+      val deduped = EventStream.runDedupOnce(spark, sf, "t_dedup_pair",
+          keys = Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      val events = EventStream.readEvents(spark, sf)
+      val batch = events.select("user_id", "event_type").distinct()
+      // coarser key than the row → the drop path does real work
+      assert(deduped.count() < events.count(),
+        "pair key must actually drop duplicate arrivals")
+      assert(deduped.count() == batch.count())
+      assert(deduped.except(batch).count() == 0)
+      assert(batch.except(deduped).count() == 0)
+    }
+
     it("stream-stream interval join equals the batch inequality join") {
       val streamed = EventStream.runIntervalJoinOnce(spark, sf, "t_join")
         .select("purchase_id", "click_id")
