@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
-import graft.metrics.{ClusterQuality, ClusteringMetrics, Hungarian}
+import graft.metrics.{ClusterQuality, ClusteringMetrics, Hungarian, ReconLoss}
 
 /** The metrics layer exposed through the driver's oracle-checked query
   * surface: clustering-agreement metrics over a categorical pair on
@@ -216,6 +216,111 @@ object MetricOps {
               SELECT round(avg(CASE WHEN a IS NULL THEN 0
                                     ELSE (b - a) / greatest(a, b) END), 6)
                        AS silhouette
-              FROM s"""))
+              FROM s""")),
+
+    // F1 — row L2-normalization, the kernel under every recon loss
+    // (torch F.normalize semantics: max(norm, 1e-12) keeps zero rows
+    // zero). Exercises ReconLoss.sumSq + l2NormalizeRows — the exact
+    // Columns the NN evaluation path runs — against DuckDB recomputing
+    // the normalization from scratch. Per-row outputs (norm, first and
+    // last normalized components) so the hash check sees every row.
+    QueryDef(
+      "f1_l2_normalize",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val n = ReconLoss.l2NormalizeRows(v)
+        T.embeddings(s, d).select(
+          col("vec_id"),
+          round(sqrt(ReconLoss.sumSq(v)), 4).as("l2_norm"),
+          round(element_at(n, 1), 6).as("n_first"),
+          round(element_at(n, SimilarityOps.EmbeddingDim), 6).as("n_last"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH n AS (SELECT vec_id,
+                       [CAST(x AS DOUBLE) for x in embedding] AS v
+                     FROM embeddings),
+              m AS (SELECT vec_id, v,
+                      sqrt(list_sum([x * x for x in v])) AS nm
+                    FROM n)
+              SELECT vec_id, round(nm, 4) AS l2_norm,
+                     round(v[1] / greatest(nm, 1e-12), 6) AS n_first,
+                     round(v[64] / greatest(nm, 1e-12), 6) AS n_last
+              FROM m ORDER BY vec_id""")),
+
+    // A11 — the O1 orthogonality cost (mean elementwise product of
+    // row-normalized embedding halves), grouped per label so the
+    // aggregation stays distributed. Treats the two halves of the
+    // 64-dim embedding as the (shared, specific) pair the JISAE-O1
+    // training loss penalizes. Same ReconLoss Columns as the trainer.
+    QueryDef(
+      "a11_ortho_o1",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val half = SimilarityOps.EmbeddingDim / 2
+        val z1 = ReconLoss.l2NormalizeRows(slice(v, 1, half))
+        val z2 = ReconLoss.l2NormalizeRows(slice(v, half + 1, half))
+        T.embeddings(s, d)
+          .select(col("label"),
+            aggregate(zip_with(z1, z2, (x, y) => x * y),
+              lit(0.0), (acc, p) => acc + p).as("row_sum"))
+          .groupBy("label")
+          .agg(round(sum("row_sum") / (count(lit(1)) * half), 6).as("o1"))
+          .orderBy("label")
+      },
+      Some("""WITH h AS (SELECT label,
+                       [CAST(x AS DOUBLE) for x in embedding[1:32]] AS a,
+                       [CAST(x AS DOUBLE) for x in embedding[33:64]] AS b
+                     FROM embeddings),
+              n AS (SELECT label, a, b,
+                      greatest(sqrt(list_sum([x * x for x in a])), 1e-12)
+                        AS na,
+                      greatest(sqrt(list_sum([x * x for x in b])), 1e-12)
+                        AS nb
+                    FROM h),
+              r AS (SELECT label,
+                      list_sum(list_transform(range(1, 33),
+                        i -> (a[i] / na) * (b[i] / nb))) AS row_sum
+                    FROM n)
+              SELECT label, round(sum(row_sum) / (count(*) * 32), 6) AS o1
+              FROM r GROUP BY label ORDER BY label""")),
+
+    // A13 — the O3 orthogonality cost (sum of squared per-DIMENSION
+    // dots across rows), per label: posexplode to (dim, product) long
+    // form, one map-side-combined shuffle keyed (label, dim) — the
+    // distributed shape that survives a width x rows scale-up. Same
+    // ReconLoss normalization Columns as the JISAE-O3 training loss.
+    QueryDef(
+      "a13_ortho_o3",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val half = SimilarityOps.EmbeddingDim / 2
+        val z1 = ReconLoss.l2NormalizeRows(slice(v, 1, half))
+        val z2 = ReconLoss.l2NormalizeRows(slice(v, half + 1, half))
+        T.embeddings(s, d)
+          .select(col("label"),
+            posexplode(zip_with(z1, z2, (x, y) => x * y))
+              .as(Seq("dim", "prod")))
+          .groupBy("label", "dim").agg(sum("prod").as("col_dot"))
+          .groupBy("label")
+          .agg(round(sum(pow(col("col_dot"), 2)), 6).as("o3"))
+          .orderBy("label")
+      },
+      Some("""WITH h AS (SELECT label,
+                       [CAST(x AS DOUBLE) for x in embedding[1:32]] AS a,
+                       [CAST(x AS DOUBLE) for x in embedding[33:64]] AS b
+                     FROM embeddings),
+              n AS (SELECT label, a, b,
+                      greatest(sqrt(list_sum([x * x for x in a])), 1e-12)
+                        AS na,
+                      greatest(sqrt(list_sum([x * x for x in b])), 1e-12)
+                        AS nb
+                    FROM h),
+              long AS (SELECT label, t.i AS dim,
+                         (a[t.i] / na) * (b[t.i] / nb) AS prod
+                       FROM n, range(1, 33) t(i)),
+              dots AS (SELECT label, dim, sum(prod) AS col_dot
+                       FROM long GROUP BY 1, 2)
+              SELECT label, round(sum(col_dot * col_dot), 6) AS o3
+              FROM dots GROUP BY label ORDER BY label"""))
   )
 }
