@@ -284,6 +284,78 @@ object MetricOps {
               SELECT label, round(sum(row_sum) / (count(*) * 32), 6) AS o1
               FROM r GROUP BY label ORDER BY label""")),
 
+    // A12 — the O2 orthogonality cost (sum of squared per-SAMPLE dots
+    // of row-normalized embedding halves), per label: the dot stays
+    // inside the row (codegen'd HOFs, no explode), then one hash
+    // aggregation — cheapest of the three ortho costs at scale. Same
+    // ReconLoss Columns as the JISAE-O2 training loss.
+    QueryDef(
+      "a12_ortho_o2",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val half = SimilarityOps.EmbeddingDim / 2
+        val z1 = ReconLoss.l2NormalizeRows(slice(v, 1, half))
+        val z2 = ReconLoss.l2NormalizeRows(slice(v, half + 1, half))
+        T.embeddings(s, d)
+          .select(col("label"),
+            aggregate(zip_with(z1, z2, (x, y) => x * y),
+              lit(0.0), (acc, p) => acc + p).as("row_dot"))
+          .groupBy("label")
+          .agg(round(sum(pow(col("row_dot"), 2)), 6).as("o2"))
+          .orderBy("label")
+      },
+      Some("""WITH h AS (SELECT label,
+                       [CAST(x AS DOUBLE) for x in embedding[1:32]] AS a,
+                       [CAST(x AS DOUBLE) for x in embedding[33:64]] AS b
+                     FROM embeddings),
+              n AS (SELECT label, a, b,
+                      greatest(sqrt(list_sum([x * x for x in a])), 1e-12)
+                        AS na,
+                      greatest(sqrt(list_sum([x * x for x in b])), 1e-12)
+                        AS nb
+                    FROM h),
+              r AS (SELECT label,
+                      list_sum(list_transform(range(1, 33),
+                        i -> (a[i] / na) * (b[i] / nb))) AS row_dot
+                    FROM n)
+              SELECT label, round(sum(row_dot * row_dot), 6) AS o2
+              FROM r GROUP BY label ORDER BY label""")),
+
+    // F7 — elementwise combine of embedding arrays (the MOCSS
+    // shared-embedding average: mean of the two halves per dimension),
+    // per row. Reuses ReconLoss.meanOf2 — the Column the embedding
+    // extraction path (M24) runs. Output samples the combined vector
+    // (first/mid/last dims) plus its row sum so every dimension
+    // contributes to the hash.
+    QueryDef(
+      "f7_elementwise_mean",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val half = SimilarityOps.EmbeddingDim / 2
+        val m = ReconLoss.meanOf2(slice(v, 1, half), slice(v, half + 1, half))
+        T.embeddings(s, d).select(
+          col("vec_id"),
+          round(element_at(m, 1), 6).as("m_first"),
+          round(element_at(m, half / 2), 6).as("m_mid"),
+          round(element_at(m, half), 6).as("m_last"),
+          round(aggregate(m, lit(0.0), (acc, x) => acc + x), 6).as("m_sum"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH h AS (SELECT vec_id,
+                       [CAST(x AS DOUBLE) for x in embedding[1:32]] AS a,
+                       [CAST(x AS DOUBLE) for x in embedding[33:64]] AS b
+                     FROM embeddings),
+              m AS (SELECT vec_id,
+                      list_transform(range(1, 33),
+                        i -> (a[i] + b[i]) / 2) AS mv
+                    FROM h)
+              SELECT vec_id,
+                     round(mv[1], 6) AS m_first,
+                     round(mv[16], 6) AS m_mid,
+                     round(mv[32], 6) AS m_last,
+                     round(list_sum(mv), 6) AS m_sum
+              FROM m ORDER BY vec_id""")),
+
     // A13 — the O3 orthogonality cost (sum of squared per-DIMENSION
     // dots across rows), per label: posexplode to (dim, product) long
     // form, one map-side-combined shuffle keyed (label, dim) — the
