@@ -245,4 +245,38 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("HashAggregate"), s"$name buffered an aggregate\n$p")
     }
   }
+
+  it("f1/f7 per-row kernels shuffle only for the presentation sort") {
+    // row L2-normalize and elementwise mean are pure per-row HOF
+    // expressions: no hash exchange may appear, and the scan must prune
+    // to (vec_id, embedding) — label and any other column stay unread
+    for (name <- Seq("f1_l2_normalize", "f7_elementwise_mean")) {
+      val p = planOf(name)
+      assert(!p.contains("hashpartitioning"), s"$name shuffled\n$p")
+      assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding"),
+        s"$name did not prune the scan\n$p")
+    }
+  }
+
+  it("a11/a12 ortho costs partial-aggregate with one label exchange") {
+    // the dot product stays inside the row (codegen'd HOFs); only the
+    // per-label rollup may exchange, with map-side partials — and no
+    // Generate: exploding 64-wide arrays here would multiply the scan
+    for (name <- Seq("a11_ortho_o1", "a12_ortho_o2")) {
+      val p = planOf(name)
+      assert(p.contains("partial_sum"), s"$name missing map-side partials\n$p")
+      assert(!p.contains("Generate"), s"$name exploded the arrays\n$p")
+      val hashEx = "hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"$name: $hashEx hash exchanges\n$p")
+    }
+  }
+
+  it("a13_ortho_o3 explodes long-form with map-side-combined dim sums") {
+    // per-DIMENSION dots need the long form: posexplode (Generate),
+    // then (label, dim) partial sums BEFORE the exchange so only
+    // labels x dims combined rows cross the wire, not rows x dims
+    val p = planOf("a13_ortho_o3")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }
