@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic decade blow-up of the text/ANN/streaming tables, for probing
+  * query-cost growth BEYOND the driver-provided sf0.1 (BENCH_SCALES.md
+  * stops there; the 100 TB question is whether the next decades stay
+  * linear).
+  *
+  *   sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/graft_sfprobe10 10"
+  *
+  * Writes `documents/embeddings/events.parquet` = `factor` deterministic
+  * copies of the source tables, built so the CORPUS STATISTICS stay
+  * scale-invariant — i.e. growth mirrors a larger crawl of the same
+  * distribution rather than an artifact-ridden duplication stress:
+  *
+  *  - documents: copy k keeps copy 0's text verbatim only for k=0; every
+  *    other copy salts EACH WORD with a (word, k)-keyed suffix. Token
+  *    count, word-length profile and whitespace shape are preserved, but
+  *    shingle/minhash/simhash content is distinct across copies, so the
+  *    exact+near duplicate FRACTION of the blown-up corpus equals the
+  *    source corpus's (docs identical within the source stay identical
+  *    within each copy — same transform — and no cross-copy dups appear).
+  *    A naive `union` of verbatim copies would instead make every doc a
+  *    member of a `factor`-sized dup cluster — a different workload whose
+  *    cost is dominated by inflated dup structure, not data volume.
+  *  - embeddings: copy k shifts ids and adds a per-(copy, dimension)
+  *    deterministic perturbation of ±11 * 2e-3 ≈ 2% of typical coordinate
+  *    scale — vectors are distinct (no degenerate equal-vector LSH/IVF
+  *    buckets) but cluster membership is preserved, so bucket occupancy
+  *    grows linearly like a larger corpus drawn from the same mixture.
+  *  - events: copy k is a FRESH user population (user_id shifted far past
+  *    the source range) over the SAME time span — arrival density and
+  *    stateful-query key cardinality (sessions, dedup state) scale
+  *    linearly, exactly how a larger deployment looks; watermark horizon
+  *    and window spans are unchanged.
+  *
+  * Determinism: pure column arithmetic on (value, copy index) — no RNG,
+  * no wall clock — so two runs produce byte-identical content rowsets.
+  * Probe timings over the result land in BENCH_SCALES.md §beyond-sf0.1.
+  */
+object ScaleProbe {
+
+  /** Far past any source id range (sf0.1 ids are < 1e6). */
+  private val Stride = 100_000_000L
+
+  private def saltWords(text: Column, k: Int): Column =
+    concat_ws(" ", transform(split(text, " "),
+      w => concat(w, lit("~"), pmod(xxhash64(w, lit(k)), lit(97)))))
+
+  def blowUpDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("text", saltWords(col("text"), k))
+        .withColumn("doc_id", col("doc_id") + lit(k * Stride))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(docs.columns.map(col).toSeq: _*)
+    }.reduce(_.unionByName(_))
+
+  def blowUpEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          x + (pmod(lit(k * 131L) + i * lit(31L), lit(23L)) - lit(11L))
+            .cast("float") * lit(2e-3f)))
+        .withColumn("vec_id", col("vec_id") + lit(k * Stride))
+        .select(emb.columns.map(col).toSeq: _*)
+    }.reduce(_.unionByName(_))
+
+  def blowUpEvents(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      if (k == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(k * Stride))
+        .withColumn("user_id", col("user_id") + lit(k * Stride))
+        .select(ev.columns.map(col).toSeq: _*)
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = args(2).toInt
+    require(factor >= 1 && factor <= 1000, s"unreasonable factor $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String, parts: Int): Unit = {
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[scaleprobe] $name x$factor -> $dest/$name.parquet")
+    }
+    val parts = math.min(256, math.max(cpus.toInt, factor / 4))
+    write(blowUpDocuments(Tables.documents(spark, src), factor), "documents", parts)
+    write(blowUpEmbeddings(Tables.embeddings(spark, src), factor), "embeddings", parts)
+    write(blowUpEvents(Tables.events(spark, src), factor), "events", parts)
+    spark.stop()
+  }
+}
