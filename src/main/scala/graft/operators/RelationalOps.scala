@@ -21,12 +21,35 @@ object RelationalOps {
     * vol.3 §6.4). Replaces `np.random.choice(seed)` of the reference
     * (`TCGA_Auxiliary/Data_prep.py:16-58`) with a scalable, reproducible
     * ordering: exact per-class counts, no RNG state, no driver involvement.
+    *
+    * Computes (key·2654435761 + seed) mod 2^32 WITHOUT the naive 64-bit
+    * product, which overflows (ANSI error under Spark's default
+    * ansi.enabled, wrong sign otherwise) once key ≥ 2^63/2654435761
+    * ≈ 3.47e9 — hit for real on the ×100 blow-up probe's shifted doc_ids
+    * (BENCH_SCALES.md §beyond-sf0.1). Algebra: with k = key mod 2^32
+    * split as k = 65536·hi + lo (hi, lo < 2^16),
+    *   2654435761·k ≡ (2654435761·hi mod 2^32)·65536 + 2654435761·lo
+    *                                                        (mod 2^32),
+    * and every intermediate stays below 2^49. Bit-identical to the naive
+    * formula wherever that one doesn't overflow, so existing splits,
+    * samples and oracles are unchanged.
     */
-  def knuthHash(key: Column, seed: Long): Column =
-    pmod(key * lit(2654435761L) + lit(seed), lit(4294967296L))
+  def knuthHash(key: Column, seed: Long): Column = {
+    val m  = lit(4294967296L)
+    val k  = pmod(key, m)
+    val hi = shiftright(k, 16)
+    val lo = k.bitwiseAND(lit(65535L))
+    pmod(pmod(hi * lit(2654435761L), m) * lit(65536L)
+      + lo * lit(2654435761L) + lit(seed), m)
+  }
 
-  private def knuthSql(key: String, seed: Long): String =
-    s"(($key * 2654435761 + $seed) % 4294967296)"
+  /** DuckDB twin of [[knuthHash]] (`//` = DuckDB integer division; the
+    * oracle SQL is executed by DuckDB only). */
+  def knuthSql(key: String, seed: Long): String = {
+    val k = s"(($key) % 4294967296)"
+    s"((((($k // 65536) * 2654435761) % 4294967296) * 65536" +
+      s" + ($k % 65536) * 2654435761 + $seed) % 4294967296)"
+  }
 
   /** F6 — the reference's piecewise hyperparameter-cell formatter
     * (`format_cell`, Evaluation_Auxiliary/AE_results.ipynb cell 11) as a

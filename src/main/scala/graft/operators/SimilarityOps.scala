@@ -238,13 +238,16 @@ object SimilarityOps {
 
   /** Multiplicative scramble used to pick which `capPerBucket` members
     * represent an oversized LSH bucket — deterministic, id-order-
-    * decorrelated, and exactly replayable in ANSI SQL (`(vec_id *
-    * 2654435761) % 1048573`; Knuth's 2^32 golden-ratio multiplier, a
-    * Mersenne-ish prime modulus). Exact up to vec_id ≈ 3.4e9, where the
-    * product would overflow Long — guard at the call site if ids ever
-    * exceed that. */
+    * decorrelated, and exactly replayable in ANSI SQL (Knuth's 2^32
+    * golden-ratio multiplier, a Mersenne-ish prime modulus). Both
+    * operands are reduced mod 1048573 BEFORE the multiply, which keeps
+    * the value (a·b mod m = (a mod m)(b mod m) mod m), bounds the
+    * intermediate below 2^40, and — unlike the naive product, which
+    * overflows Long at vec_id ≈ 3.4e9 — stays exact for any int64 id
+    * (hit for real on the ×100 blow-up probe's shifted ids). */
   private def bucketScramble(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(1048573L))
+    pmod(pmod(id, lit(1048573L)) * lit(2654435761L % 1048573L),
+      lit(1048573L))
 
   /** Multi-table LSH ANN: each of `seeds.length` independent hash tables
     * buckets every vector by `nBits` hyperplane sign bits; candidate
@@ -698,12 +701,14 @@ object SimilarityOps {
       // and replays bucketing → banded self-join → distinct → cosine →
       // per-query top-3 in SQL. The round-8 skew cap is replayed too:
       // the neighbor side keeps only the first 256 bucket members in
-      // (vec_id * 2654435761) % 1048573 scramble order — integer-exact
-      // in both engines.
+      // ((vec_id % 1048573) * (2654435761 % 1048573)) % 1048573 scramble
+      // order — operands pre-reduced so the product is integer-exact in
+      // both engines at any id scale.
       Some(s"""WITH ${lshSigCtes(SimilarityOps.defaultSeeds)},
               |sigb AS (SELECT vec_id, tab, bucket,
               |           row_number() OVER (PARTITION BY tab, bucket
-              |             ORDER BY (vec_id * 2654435761) % 1048573,
+              |             ORDER BY ((vec_id % 1048573)
+              |                       * (2654435761 % 1048573)) % 1048573,
               |                      vec_id) AS brk
               |         FROM sig),
               |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid

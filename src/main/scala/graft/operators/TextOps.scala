@@ -958,9 +958,7 @@ object TextOps {
           .select(col("doc_id"),
             when(col("sr") >= 0.08, "high").when(col("sr") >= 0.04, "mid")
               .otherwise("low").as("band"))
-          .withColumn("u",
-            pmod(col("doc_id") * lit(2654435761L) + lit(77L),
-              lit(4294967296L)))
+          .withColumn("u", RelationalOps.knuthHash(col("doc_id"), 77L))
           .filter(col("u") <
             when(col("band") === "high", 1.0)
               .when(col("band") === "mid", 0.5)
@@ -978,7 +976,10 @@ object TextOps {
                          WHEN sr >= 0.04 THEN 'mid' ELSE 'low' END AS band
                     FROM q)
               SELECT doc_id, band FROM b
-              WHERE ((doc_id * 2654435761 + 77) % 4294967296)
+              WHERE (((((doc_id % 4294967296) // 65536) * 2654435761)
+                       % 4294967296) * 65536
+                     + ((doc_id % 4294967296) % 65536) * 2654435761 + 77)
+                    % 4294967296
                     < CASE band WHEN 'high' THEN 1.0 WHEN 'mid' THEN 0.5
                       ELSE 0.1 END * 4294967296
               ORDER BY doc_id""")),
@@ -1470,7 +1471,10 @@ object TextOps {
               |           SELECT doc_id, CASE WHEN sr >= 0.08 THEN 'high'
               |               WHEN sr >= 0.04 THEN 'mid' ELSE 'low' END
               |             AS band FROM qsr)
-              |         WHERE ((doc_id * 2654435761 + 77) % 4294967296)
+              |         WHERE (((((doc_id % 4294967296) // 65536)
+              |                   * 2654435761) % 4294967296) * 65536
+              |                + ((doc_id % 4294967296) % 65536)
+              |                  * 2654435761 + 77) % 4294967296
               |               < CASE band WHEN 'high' THEN 1.0
               |                 WHEN 'mid' THEN 0.5 ELSE 0.1 END
               |                 * 4294967296),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => Fn}
 import org.apache.spark.storage.StorageLevel
+import graft.operators.RelationalOps
 import graft.{Tables => T}
 import graft.operators.TextOps
 
@@ -75,8 +76,7 @@ object CurationPipeline {
     val quality = docs0
       .withColumn("band",
         when(sr >= 0.08, "high").when(sr >= 0.04, "mid").otherwise("low"))
-      .withColumn("u",
-        pmod(col("doc_id") * lit(2654435761L) + lit(77L), lit(4294967296L)))
+      .withColumn("u", RelationalOps.knuthHash(col("doc_id"), 77L))
       .filter(col("u") <
         when(col("band") === "high", 1.0)
           .when(col("band") === "mid", 0.5)
