@@ -50,6 +50,16 @@ def main():
     if missing:
         print(f'\nWARNING: {len(missing)} queries missing from some log: '
               f'{sorted(missing)}')
+    # A blown-up corpus must never yield FEWER rows than the anchor —
+    # collapse means the query silently read no/partial input (e.g. the
+    # directory-layout stream-source bug this guard was added for).
+    collapsed = [n for n in names
+                 if anchor[n][2] > 0 and (x10[n][2] < anchor[n][2]
+                                          or x100[n][2] < x10[n][2])]
+    if collapsed:
+        print(f'\nROW-COLLAPSE: {len(collapsed)} queries return fewer rows '
+              f'at a larger scale — their timings above are NOT valid: '
+              f'{collapsed}')
     print(f'\n{len(supers)} SUPER-linear of {len(names)} probed'
           + (f': {supers}' if supers else ''))
 

@@ -68,16 +68,34 @@ object EventStream {
     normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
+  /** Streaming read of `$sfDir/events.parquet`, handling BOTH layouts
+    * the table arrives in. The driver test data is a single parquet
+    * FILE directly under sfDir — the file-stream source wants a
+    * directory, so stream sfDir with a leaf-name glob pinned to that
+    * file. Any Spark-written copy (the production layout, e.g. the
+    * blow-up probe corpora) is a DIRECTORY of part files — there the
+    * glob matches zero leaves (pathGlobFilter tests LEAF names, and
+    * none is literally "events.parquet"), silently yielding an empty
+    * stream, so stream the directory itself. Layout is probed through
+    * the Hadoop FileSystem of the path, not java.io.File, so object
+    * stores resolve the same way. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    nanosConf(spark)
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    normalizeTs(
+      if (isDir) spark.readStream.schema(schema).parquet(path)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+  }
+
   /** Windowed event counts: 1-hour tumbling windows per event_type,
     * 2-hour watermark for late data. */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    nanosConf(spark)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file-stream source requires a directory: stream the sf dir
-    // with a glob pinned to the events file
-    normalizeTs(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    eventsStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
@@ -197,12 +215,8 @@ object EventStream {
       queryName: String = "event_sessions_all",
       stateShards: Int = DefaultStateShards): DataFrame =
     withStateShards(spark, stateShards) {
-      nanosConf(spark)
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       import spark.implicits._
-      val evs = normalizeTs(spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir))
+      val evs = eventsStream(spark, sfDir)
         .withWatermark("ts", "2 hours")
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[SessionEvent]
@@ -228,12 +242,8 @@ object EventStream {
       queryName: String = "event_sessions",
       stateShards: Int = DefaultStateShards): DataFrame =
     withStateShards(spark, stateShards) {
-      nanosConf(spark)
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       import spark.implicits._
-      val evs = normalizeTs(spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir))
+      val evs = eventsStream(spark, sfDir)
         .withWatermark("ts", "2 hours")
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[SessionEvent]
@@ -254,11 +264,7 @@ object EventStream {
     * only if they are further apart than the delay threshold). */
   def dedupStream(spark: SparkSession, sfDir: String,
       keys: Seq[String] = Seq("user_id", "event_type", "ts")): DataFrame = {
-    nanosConf(spark)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    normalizeTs(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    eventsStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keys)
   }
@@ -330,11 +336,7 @@ object EventStream {
       queryName: String = "event_session_windows",
       stateShards: Int = DefaultStateShards): DataFrame =
     withStateShards(spark, stateShards) {
-      nanosConf(spark)
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val q = normalizeTs(spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir))
+      val q = eventsStream(spark, sfDir)
         .withWatermark("ts", "2 hours")
         .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
         .agg(count(lit(1)).as("n"))
@@ -405,13 +407,8 @@ object EventStream {
     * unbounded feed. State shards by user_id (`shuffle.partitions`). */
   def streamIntervalJoin(spark: SparkSession, sfDir: String,
       windowHours: Int = 6): DataFrame = {
-    nanosConf(spark)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def side(tpe: String) =
-      normalizeTs(spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
-        .filter(col("event_type") === tpe)
+      eventsStream(spark, sfDir).filter(col("event_type") === tpe)
     val purchases = side("purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))

@@ -229,6 +229,32 @@ class ExtensionsSpec extends SparkSpec {
       assert(batch.except(streamed).count() == 0)
     }
 
+    it("streams a DIRECTORY-layout events table identically to the " +
+       "single-file layout") {
+      // The driver test data is one parquet FILE under sfDir; any
+      // Spark-written copy (the production layout) is a DIRECTORY of
+      // part files, where the old leaf-name glob silently matched zero
+      // files and every stream read 0 rows (found by the x10/x100
+      // blow-up probe). Re-write the same events as a directory and
+      // assert the streamed result is identical.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_events_dirlayout").toString
+      try {
+        EventStream.readEvents(spark, sf).write.mode("overwrite")
+          .parquet(s"$dir/events.parquet")
+        val fromDir = EventStream.runWindowedOnce(spark, dir, "t_counts_dir")
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        val fromFile = EventStream.runWindowedOnce(spark, sf, "t_counts_f")
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        assert(fromDir.count() > 0)
+        assert(fromDir.except(fromFile).count() == 0)
+        assert(fromFile.except(fromDir).count() == 0)
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dir))
+      }
+    }
+
     it("append mode emits exactly the watermark-closed windows (z8)") {
       val appended = EventStream.runWindowedAppendOnce(spark, sf, "t_append")
         .select(col("window.start").as("ws"), col("window.end").as("we"),
