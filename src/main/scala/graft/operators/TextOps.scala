@@ -359,6 +359,47 @@ object TextOps {
     smallPairs.union(bigPairs).distinct()
   }
 
+  /** Cosine-gated near-dup edge list over a sign-bucketed embedding
+    * frame `(vec_id, embedding, bucket)` — the semantic (x26) twin of
+    * [[minhashCandidatesFrom]]'s banding, with the SAME oversized-bucket
+    * cap ([[DefaultMaxBucket]]): scaled sign bits keep RANDOM bucket
+    * occupancy near 64, but a tight near-duplicate embedding cluster
+    * sits on the same side of every hyperplane and lands whole in ONE
+    * bucket no matter how many bits — the all-pairs self-join then fans
+    * out O(m²) (measured: 0.47 s → 8.5 s across the x10→x100 blow-up
+    * decade, BENCH_SCALES.md §beyond-sf0.1). Buckets over the cap emit
+    * a consecutive-rank chain (O(m) pairs): members of such a bucket
+    * are near-parallel, so every chain link clears the cosine gate and
+    * component labels are unchanged; only a bucket both oversized AND
+    * cosine-diverse could split vs all-pairs, which scaled bits make a
+    * measure-zero corner (spec-asserted: on a dominant-cluster fixture
+    * the hazard population's labels match all-pairs exactly).
+    * Rank+size ride the same bucket hash partitioning the
+    * join needs — no new exchange. The x26 oracle replays the identical
+    * rule in SQL. */
+  def semanticPairs(e: DataFrame, cosMin: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val w = Window.partitionBy("bucket")
+    val ranked = e.select(col("vec_id"), col("embedding"), col("bucket"))
+      .withColumn("rnk", row_number().over(w.orderBy("vec_id")))
+      .withColumn("bsz", count(lit(1)).over(w))
+    def side(p: String) = ranked.select(col("vec_id").as(s"id_$p"),
+      col("embedding").as(s"e_$p"), col("bucket"),
+      col("rnk").as(s"rnk_$p"), col("bsz"))
+    val small = side("a").filter(col("bsz") <= maxBucket)
+      .join(side("b").filter(col("bsz") <= maxBucket).drop("bsz"),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+    val big = side("a").filter(col("bsz") > maxBucket)
+      .join(side("b").filter(col("bsz") > maxBucket).drop("bsz"),
+        Seq("bucket"))
+      .filter(col("rnk_a") + 1 === col("rnk_b"))
+    small.unionByName(big)
+      .filter(round(SimilarityOps.fastCosine(col("e_a"), col("e_b")), 4)
+        >= cosMin)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+  }
+
   private val simhashBandCache = new graft.etl.DfCache
 
   /** Banded SimHash fingerprint frame `(doc_id, simhash, band,
@@ -1353,26 +1394,30 @@ object TextOps {
           SimilarityOps.cachedCount(key, SimilarityOps.checkedEmbeddings(s, d)))
         val e = SimilarityOps.cachedBucketedFrame(key, SimilarityOps.checkedEmbeddings(s, d),
           nBits, Seq(42L), SimilarityOps.EmbeddingDim)
-        val a = e.select(col("vec_id").as("id_a"),
-          col("embedding").as("e_a"), col("bucket"))
-        val b = e.select(col("vec_id").as("id_b"),
-          col("embedding").as("e_b"), col("bucket"))
-        val pairs = a.join(b, Seq("bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(round(SimilarityOps.fastCosine(col("e_a"), col("e_b")), 4)
-            >= 0.25)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        connectedComponents(pairs)
+        connectedComponents(semanticPairs(e, 0.25))
           .select(col("doc_id").as("vec_id"), col("component"),
             when(col("doc_id") === col("component"), 1).otherwise(0)
               .as("keep"))
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE ${SimilarityOps.lshSigCtes(Seq(42L))},
-              |pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
-              |          FROM sig a JOIN sig b
-              |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              |          WHERE round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 4)
+              |rb AS (SELECT vec_id, embedding, bucket,
+              |         row_number() OVER (PARTITION BY bucket
+              |                            ORDER BY vec_id) AS rnk,
+              |         count(*) OVER (PARTITION BY bucket) AS bsz
+              |       FROM sig),
+              |cand AS (SELECT a.vec_id AS u, b.vec_id AS v,
+              |           a.embedding AS e_a, b.embedding AS e_b
+              |         FROM rb a JOIN rb b
+              |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |         WHERE a.bsz <= 256 AND b.bsz <= 256
+              |         UNION ALL
+              |         SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
+              |         FROM rb a JOIN rb b
+              |           ON a.bucket = b.bucket AND a.rnk + 1 = b.rnk
+              |         WHERE a.bsz > 256 AND b.bsz > 256),
+              |pairs AS (SELECT u, v FROM cand
+              |          WHERE round(${SimilarityOps.cosineSql("e_a", "e_b")}, 4)
               |                >= 0.25),
               |bi AS (SELECT u, v FROM pairs
               |       UNION ALL SELECT v, u FROM pairs),

@@ -345,4 +345,66 @@ class TextOpsSpec extends SparkSpec {
     assert(comp.select("component").distinct().count() == 1,
       "boilerplate docs split into multiple components under the cap")
   }
+
+  it("semantic-pair bucket cap stays sub-quadratic with identical " +
+      "components on a dominant embedding cluster") {
+    // Embedding twin of the banding cap spec (the x26 hazard measured
+    // on the x100 blow-up): 300 of 1200 vectors share one dominant
+    // direction with tiny jitter — they sit on the same side of every
+    // hyperplane, so the whole cluster lands in ONE sign bucket at any
+    // nBits and uncapped all-pairs fans out O(m²).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = graft.operators.SimilarityOps.EmbeddingDim
+    val n = 1200
+    val nDup = 300
+    def jitter(id: Long, i: Int): Float =
+      (((id * 31 + i * 7) % 97) / 97000.0).toFloat
+    val rows = (0L until n.toLong).map { id =>
+      val e =
+        if (id < nDup) Array.tabulate(dim)(i =>
+          (if (i == 0) 1.0f else 0.0f) + jitter(id, i))
+        else Array.tabulate(dim)(i =>
+          (((id * 104729 + i * 7919) % 2001) / 1000.0 - 1.0).toFloat)
+      (id, e)
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val nBits = SimilarityOps.scaledLshBits(n)
+    val e = SimilarityOps.bucketedFrame(emb, nBits, Seq(42L), dim).cache()
+    val maxBucket = e.groupBy("bucket").count().agg(max("count"))
+      .head().getLong(0)
+    assert(maxBucket >= nDup,
+      s"fixture failed to produce a dominant bucket (max=$maxBucket)")
+    // cap like production: far above organic occupancy (4x the 64
+    // target), so ONLY the pathological cluster bucket crosses it
+    val cap = 256
+    val second = e.groupBy("bucket").count().orderBy(col("count").desc)
+      .collect().map(_.getLong(1)).drop(1).headOption.getOrElse(0L)
+    assert(second <= cap,
+      s"fixture broken: an organic bucket ($second) also exceeds the cap")
+    val quad = nDup.toLong * (nDup - 1) / 2
+    val uncapped = TextOps.semanticPairs(e, 0.25, maxBucket = Int.MaxValue)
+    val nUncapped = uncapped.count()
+    assert(nUncapped >= quad,
+      "fixture broken: uncapped pairs below the quadratic volume")
+    val capped = TextOps.semanticPairs(e, 0.25, maxBucket = cap)
+    val nCapped = capped.count()
+    // organic (<= cap) buckets contribute identically to both sides, so
+    // the delta is exactly the dominant bucket's O(m²) all-pairs volume
+    // dropping to its O(m) chain
+    assert(nCapped <= nUncapped - quad + maxBucket,
+      s"cap did not de-quadratify the dominant bucket " +
+        s"($nCapped vs $nUncapped uncapped, quad $quad)")
+    // the hazard population's labels are IDENTICAL, not just connected:
+    // every chain link inside the near-parallel cluster clears the
+    // cosine gate, so keep-one canonicalization is unchanged by the cap
+    def labels(p: org.apache.spark.sql.DataFrame) =
+      TextOps.connectedComponents(p).filter(col("doc_id") < nDup)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = labels(capped)
+    val b = labels(uncapped)
+    assert(a == b, "capped cluster labels differ from all-pairs labels")
+    assert(a.values.toSet == Set(0L),
+      "cluster did not resolve to one component labeled by its minimum")
+  }
 }
