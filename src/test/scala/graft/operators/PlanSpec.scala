@@ -279,4 +279,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  it("x26 semanticPairs shuffles only on the bucket key, equi-joins " +
+      "both branches, and prunes the rank window from the all-pairs side") {
+    val emb = SimilarityOps.checkedEmbeddings(spark, sf)
+    val e = SimilarityOps.bucketedFrame(emb,
+      SimilarityOps.scaledLshBits(emb.count()), Seq(42L),
+      SimilarityOps.EmbeddingDim)
+    val p = TextOps.semanticPairs(e, 0.25)
+      .queryExecution.executedPlan.toString
+    // every exchange is the bucket hash partitioning the windows and
+    // joins share — any other key would be a second data shuffle
+    val parts = p.split("hashpartitioning\\(").drop(1)
+    assert(parts.nonEmpty, p)
+    parts.foreach(s => assert(s.startsWith("bucket"), s.take(60) + "\n" + p))
+    // both branches are equi-joins on bucket (+ rank for the chain) —
+    // a nested-loop/cartesian here is the O(m²) shape the cap removes
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the chain branch joins on consecutive rank
+    assert(p.contains("rnk_a") && p.contains("+ 1"), p)
+    // column pruning drops the row_number window from the small (all-
+    // pairs) branch — it only needs bsz; exactly the big branch's two
+    // sides keep the rank window
+    assert(p.split("row_number\\(\\)").length - 1 == 2, p)
+  }
 }
