@@ -51,6 +51,37 @@ object EventStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run an append-mode stream to completion through a FILE sink and
+    * read the result back. The memory sink serializes every output row
+    * through the driver (a collect in disguise) — at the ×1000 blow-up
+    * probe's scale, 56 M session rows broke `spark.driver.maxResultSize`
+    * (BENCH_SCALES.md §beyond-sf0.1). A parquet sink keeps the output
+    * distributed end to end, which is also the production shape; the
+    * AvailableNow run against the `_spark_metadata` commit log is
+    * exactly-once. Fresh temp sink+checkpoint per run keeps the bounded
+    * runners deterministic. Only append mode has file-sink support —
+    * the complete-mode (z4, output bounded by the time span) and
+    * update-mode (z9, no file sink exists in Spark; production
+    * consumers use foreachBatch, demonstrated by
+    * [[runWindowedToJdbcOnce]]) runners keep the memory sink. */
+  private def runAppendToParquet(spark: SparkSession,
+      df: org.apache.spark.sql.Dataset[_], queryName: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$queryName")
+    val out = dir.resolve("out").toString
+    val q = df.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .queryName(queryName).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    try spark.read.parquet(out)
+    catch { // zero emitted rows → no part files to infer a schema from
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    }
+  }
+
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType.typeName match {
       case "long" => df.withColumn("ts",
@@ -207,7 +238,7 @@ object EventStream {
   }
 
   /** Run [[sessionizeAll]] to completion (AvailableNow → append-mode
-    * memory sink). Single-file source ⇒ one data batch emits every
+    * parquet sink). Single-batch source ⇒ one data batch emits every
     * gap-closed session; the timeout batch then flushes open sessions
     * whose `last + gap` the final watermark (max event time − 2 h)
     * passed. Deterministic, fully DuckDB-oracled (z15). */
@@ -220,13 +251,7 @@ object EventStream {
         .withWatermark("ts", "2 hours")
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[SessionEvent]
-      val q = sessionizeAll(evs, gapMs).writeStream
-        .format("memory").queryName(queryName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
+      runAppendToParquet(spark, sessionizeAll(evs, gapMs), queryName)
     }
 
   /** Run the sessionizer as a REAL stream to completion (AvailableNow →
@@ -269,8 +294,8 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keys)
   }
 
-  /** Run the streaming dedup to completion (AvailableNow) into an
-    * in-memory table; returns the deduplicated rows. Exactly one row per
+  /** Run the streaming dedup to completion (AvailableNow) through a
+    * parquet sink; returns the deduplicated rows. Exactly one row per
     * distinct key survives a single-batch run (the events corpus is one
     * file, and AvailableNow admits it in one micro-batch, so no state
     * expires mid-run and within-batch state checks drop every duplicate
@@ -282,13 +307,7 @@ object EventStream {
       stateShards: Int = DefaultStateShards,
       keys: Seq[String] = Seq("user_id", "event_type", "ts")): DataFrame =
     withStateShards(spark, stateShards) {
-      val q = dedupStream(spark, sfDir, keys).writeStream
-        .format("memory").queryName(queryName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
+      runAppendToParquet(spark, dedupStream(spark, sfDir, keys), queryName)
     }
 
   /** Run the windowed-count stream to completion (AvailableNow) into an
@@ -317,13 +336,7 @@ object EventStream {
       queryName: String = "event_counts_append",
       stateShards: Int = DefaultStateShards): DataFrame =
     withStateShards(spark, stateShards) {
-      val q = windowedCounts(spark, sfDir).writeStream
-        .format("memory").queryName(queryName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
+      runAppendToParquet(spark, windowedCounts(spark, sfDir), queryName)
     }
 
   /** The BUILT-IN `session_window` as a real append-mode stream: gap-
@@ -336,19 +349,15 @@ object EventStream {
       queryName: String = "event_session_windows",
       stateShards: Int = DefaultStateShards): DataFrame =
     withStateShards(spark, stateShards) {
-      val q = eventsStream(spark, sfDir)
-        .withWatermark("ts", "2 hours")
-        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("user_id"), unix_micros(col("sw.start")).as("s_us"),
-          col("n"))
-        .writeStream
-        .format("memory").queryName(queryName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
+      runAppendToParquet(spark,
+        eventsStream(spark, sfDir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "6 hours").as("sw"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_micros(col("sw.start")).as("s_us"),
+            col("n")),
+        queryName)
     }
 
   /** Stream the append-mode windowed counts into a JDBC (Derby) table
@@ -427,12 +436,7 @@ object EventStream {
       queryName: String = "event_join", windowHours: Int = 6,
       stateShards: Int = DefaultStateShards): DataFrame =
     withStateShards(spark, stateShards) {
-      val q = streamIntervalJoin(spark, sfDir, windowHours).writeStream
-        .format("memory").queryName(queryName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
+      runAppendToParquet(spark, streamIntervalJoin(spark, sfDir, windowHours),
+        queryName)
     }
 }
