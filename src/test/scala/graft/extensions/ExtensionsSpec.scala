@@ -255,6 +255,27 @@ class ExtensionsSpec extends SparkSpec {
       }
     }
 
+    it("an append stream that closes nothing returns an empty frame " +
+       "with the right schema (file-sink zero-row fallback)") {
+      // all events inside the watermark horizon → every session stays
+      // open → the parquet sink commits zero part files; the runner
+      // must fall back to an empty frame with the output schema rather
+      // than fail schema inference on an empty directory
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_events_empty").toString
+      try {
+        EventStream.readEvents(spark, sf).limit(3)
+          .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val out = EventStream.runSessionWindowOnce(spark, dir, "t_zero_rows")
+        assert(out.count() == 0)
+        assert(out.columns.toSeq == Seq("user_id", "s_us", "n"))
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dir))
+      }
+    }
+
     it("append mode emits exactly the watermark-closed windows (z8)") {
       val appended = EventStream.runWindowedAppendOnce(spark, sf, "t_append")
         .select(col("window.start").as("ws"), col("window.end").as("we"),
