@@ -321,18 +321,31 @@ object SimilarityOps {
     checkedEmbeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("features"))
 
-  /** IVF coarse-quantizer geometry for dataset `d`: k = max(8, ⌈√n⌉)
-    * cells, centroids from the fit-once (warehouse-persisted) seeded
-    * KMeans model, as a plain matrix. The y5/y7 query bodies and their
-    * oracle generators share EXACTLY this — the centroid numbers in the
-    * oracle's literals are the numbers the plan embedded. */
+  /** Max IVF cell count. The ⌈√n⌉ rule makes assignment cost n·√n —
+    * measured 17.7×/decade on the blow-up probe (BENCH_SCALES.md
+    * §x1000) — which is the right trade only while the fit itself is
+    * cheap. Past √n = 4096 (n ≈ 16.8 M) the cap pins assignment to a
+    * constant 4096·d fused-argmin ops per vector (linear total);
+    * per-cell occupancy then grows with n, which the probe-side
+    * candidate scan pays — the standard IVF envelope (FAISS practice:
+    * cells in the thousands for corpora in the tens of millions, then
+    * PQ residuals — the y6/y7 path — carry the rest). */
+  val MaxIvfCells = 4096
+
+  /** IVF coarse-quantizer geometry for dataset `d`:
+    * k = min(max(8, ⌈√n⌉), [[MaxIvfCells]]) cells, centroids from the
+    * fit-once (warehouse-persisted) seeded KMeans model, as a plain
+    * matrix. The y5/y7 query bodies and their oracle generators share
+    * EXACTLY this — the centroid numbers in the oracle's literals are
+    * the numbers the plan embedded. */
   def ivfCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
     import graft.ml.Clustering
     val e = checkedEmbeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("features"))
     val n = cachedCount(s"emb:$d", e)
-    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val k = math.min(math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt),
+      MaxIvfCells)
     val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val model = Clustering.kmeansModelCached(s"ivf:$d:$k", e, k = k,
       seed = 42, maxIter = 5, persistPath =
