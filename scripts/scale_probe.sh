@@ -23,6 +23,8 @@ y7_ivfpq_ann \
 z3_events_hourly z4_stream_windowed z5_sessionize z6_asof_join \
 z7_range_join z8_stream_append z9_stream_sessions z10_session_window \
 z13_stream_join z14_json_props z15_stream_sessions_all \
+z1_multimodal_profile z2_frame_sample z11_image_roundtrip \
+z12_audio_roundtrip z17_video_roundtrip \
 z16_stream_session_window z18_stream_dedup"
 
 OUT=${SCALE_PROBE_OUT:-/tmp/graft_probe_logs}
