@@ -99,23 +99,25 @@ def main():
     # experiment (5x epochs / wider search) — intentionally different
     # values, so they must not overwrite grid cells or register as B4
     # splice mismatches. They get their own section below.
-    all_logs = sorted(glob.glob('QUALITY_r8_*.log'))
+    all_logs = sorted(glob.glob('QUALITY_r8_*.log')
+                  + glob.glob('logs/QUALITY_r8_*.log')
+                  + glob.glob('logs/QUALITY_r9*.log'))
     grid_logs = [p for p in all_logs if '_attr' not in p]
     attr_logs = [p for p in all_logs if '_attr' in p]
     eng, conflicts = load_logs(grid_logs)
     # Attr runs probe different budget axes (5x epochs; 8 trials x 5x
-    # epochs). The attribution question is "does MORE budget close the
-    # miss?", so keep each cell's best-NB higher-budget run (recon as the
-    # tiebreak); per-run values stay in the logs. Non-monotone cells
-    # (a wider search finding a lower-recon basin that is slightly less
-    # NB-separable) are called out in QUALITY_r8.md.
-    attr = {}
+    # epochs; ...). Each axis is kept as ITS OWN series keyed by log file
+    # — merging with a per-cell best-of-N would be a selection effect
+    # that biases the moved-toward-published count upward as more budget
+    # axes are added. Cells measured in several axes also get a per-cell
+    # mean row for a bias-free single summary.
+    attr_by_axis = {}   # log path -> {(fam, ds): (mean, std, nb)}
     for p in attr_logs:
         one, _ = load_logs([p])
-        for k, v in one.items():
-            if k not in attr or (v[2], -v[0]) > (attr[k][2], -attr[k][0]):
-                attr[k] = v
-    r7, _ = load_logs(['QUALITY_r7.log'])
+        if one:
+            attr_by_axis[p] = one
+    r7, _ = load_logs(glob.glob('QUALITY_r7.log')
+                  + glob.glob('logs/QUALITY_r7.log'))
 
     missing = [(f, d) for f in FAMILIES for d in DATASETS
                if (f, d) not in eng]
@@ -127,7 +129,7 @@ def main():
     splice_bad = list(conflicts)
     for key, v in r7.items():
         if key in eng and eng[key] != v:
-            splice_bad.append((key, v, eng[key], 'QUALITY_r7.log'))
+            splice_bad.append((key, v, eng[key], 'logs/QUALITY_r7.log'))
     n_overlap = sum(1 for k in r7 if k in eng)
 
     detail = '--detail' in sys.argv
@@ -202,21 +204,43 @@ def main():
     print(f'reference-side check: MOCSS is published recon max on '
           f'{ref_mocss_max}/20 datasets')
 
-    if attr:
+    if attr_by_axis:
         print('\nBudget attribution (higher-budget re-runs vs the '
-              'standard-budget grid; published recon mean as the target):')
+              'standard-budget grid; published recon mean as the target).')
+        print('Each budget axis (log) reported separately — no per-cell '
+              'best-of merge across axes:')
+        cell_runs = defaultdict(list)
+        for p in sorted(attr_by_axis):
+            axis = attr_by_axis[p]
+            closer = 0
+            print(f'  axis {p}:')
+            for (fam, d), (am, _astd, anb) in sorted(axis.items()):
+                pm = ref[(fam, d)][0]
+                gm, _gstd, gnb = eng.get((fam, d), (float('nan'),) * 3)
+                trend = (' recon->pub' if abs(am - pm) < abs(gm - pm)
+                         else '') + (' nb->1.0' if anb > gnb else '')
+                closer += bool(trend.strip())
+                cell_runs[(fam, d)].append((am, anb))
+                print(f'    {fam} {d}: grid recon {gm:.4f} nb {gnb:.4f} | '
+                      f'axis recon {am:.4f} nb {anb:.4f} | '
+                      f'pub recon {pm:.3f}{trend or " (no move)"}')
+            print(f'    {closer}/{len(axis)} cells moved toward published '
+                  f'on this axis')
+        print('  Per-cell MEANS across attr runs (bias-free summary):')
         closer = 0
-        for (fam, d), (am, _astd, anb) in sorted(attr.items()):
+        for (fam, d), runs in sorted(cell_runs.items()):
+            am = sum(r[0] for r in runs) / len(runs)
+            anb = sum(r[1] for r in runs) / len(runs)
             pm = ref[(fam, d)][0]
             gm, _gstd, gnb = eng.get((fam, d), (float('nan'),) * 3)
-            trend = (' recon->pub' if abs(am - pm) < abs(gm - pm) else '') + \
-                    (' nb->1.0' if anb > gnb else '')
+            trend = (' recon->pub' if abs(am - pm) < abs(gm - pm)
+                     else '') + (' nb->1.0' if anb > gnb else '')
             closer += bool(trend.strip())
-            print(f'  {fam} {d}: grid recon {gm:.4f} nb {gnb:.4f} | '
-                  f'hi-budget recon {am:.4f} nb {anb:.4f} | '
+            print(f'    {fam} {d} (n={len(runs)}): grid recon {gm:.4f} '
+                  f'nb {gnb:.4f} | mean recon {am:.4f} nb {anb:.4f} | '
                   f'pub recon {pm:.3f}{trend or " (no move)"}')
-        print(f'  {closer}/{len(attr)} re-run cells moved toward the '
-              f'published values with budget')
+        print(f'  {closer}/{len(cell_runs)} re-run cells moved toward the '
+              f'published values on the per-cell mean')
     return 0 if not splice_bad else 1
 
 

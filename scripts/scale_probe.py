@@ -23,21 +23,28 @@ def load(path):
 
 
 def classify(w1, w10, w100):
+    # Both decades are tested against the 14x/10x-step threshold, each
+    # with its own absolute-time floor: a query that blows up on the
+    # sf0.1->x10 decade but levels off afterwards (e.g. it hits a cap)
+    # must still be flagged, and a still-sub-second x100 total must not
+    # exempt first-decade growth that is already >1 s at x10.
+    r1 = w10 / max(w1, 1e-9)
     r2 = w100 / max(w10, 1e-9)
+    label = f'{r1:.1f}x/{r2:.1f}x'
+    if (r2 > 14 and w100 > 1.0) or (r1 > 14 and w10 > 1.0):
+        return label, 'SUPER'
     if w100 < 0.3:
-        return f'{r2:.1f}x', 'flat'
-    if r2 > 14 and w100 > 1.0:
-        return f'{r2:.1f}x', 'SUPER'
+        return label, 'flat'
     if r2 > 6:
-        return f'{r2:.1f}x', 'linear'
-    return f'{r2:.1f}x', 'sub-linear'
+        return label, 'linear'
+    return label, 'sub-linear'
 
 
 def main():
     anchor, x10, x100 = (load(p) for p in sys.argv[1:4])
     names = [n for n in anchor if n in x10 and n in x100]
     print('| query | warm sf0.1 s | warm x10 s | warm x100 s | '
-          'x10->x100 | class |')
+          'sf0.1->x10 / x10->x100 | class |')
     print('|---|---|---|---|---|---|')
     supers = []
     for n in names:

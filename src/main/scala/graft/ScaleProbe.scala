@@ -45,9 +45,13 @@ object ScaleProbe {
   /** Far past any source id range (sf0.1 ids are < 1e6). */
   private val Stride = 100_000_000L
 
+  /** Salt modulus 2^20: cross-copy suffix collision for a doc is
+    * ~(1/2^20)^words, negligible even for one-word documents (mod 97 made
+    * the no-cross-copy-dups claim merely probabilistic for short docs).
+    */
   private def saltWords(text: Column, k: Int): Column =
     concat_ws(" ", transform(split(text, " "),
-      w => concat(w, lit("~"), pmod(xxhash64(w, lit(k)), lit(97)))))
+      w => concat(w, lit("~"), pmod(xxhash64(w, lit(k)), lit(1 << 20)))))
 
   def blowUpDocuments(docs: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
@@ -64,7 +68,12 @@ object ScaleProbe {
       if (k == 0) emb
       else emb
         .withColumn("embedding", transform(col("embedding"), (x, i) =>
-          x + (pmod(lit(k * 131L) + i * lit(31L), lit(23L)) - lit(11L))
+          // Hash-keyed per-(copy, dimension) offset in [-11, 11]: the old
+          // affine pmod(k*131 + i*31, 23) was periodic in k with period
+          // 23, so copies k and k+23 perturbed identically -> exact
+          // duplicate vectors at factor >= 24. xxhash64 over (k, i) has
+          // no period within any reachable factor.
+          x + (pmod(xxhash64(lit(k), i), lit(23L)) - lit(11L))
             .cast("float") * lit(2e-3f)))
         .withColumn("vec_id", col("vec_id") + lit(k * Stride))
         .select(emb.columns.map(col).toSeq: _*)

@@ -64,9 +64,35 @@ object EventStream {
     * update-mode (z9, no file sink exists in Spark; production
     * consumers use foreachBatch, demonstrated by
     * [[runWindowedToJdbcOnce]]) runners keep the memory sink. */
+  /** Delete a temp sink directory tree when the JVM exits. One shutdown
+    * hook draining a queue (not one hook per sink) — bench runs create
+    * dozens of sinks. */
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var d = exitDirs.poll()
+    while (d != null) {
+      try {
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () } })
+      } catch { case _: Exception => () }
+      d = exitDirs.poll()
+    }
+  }, "graft-sink-reaper"))
+
+  private def registerExitCleanup(dir: java.nio.file.Path): Unit = {
+    exitHook
+    exitDirs.add(dir)
+  }
+
   private def runAppendToParquet(spark: SparkSession,
       df: org.apache.spark.sql.Dataset[_], queryName: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$queryName")
+    // The returned DataFrame reads the sink lazily, so the directory
+    // cannot be deleted inline; without cleanup, repeated test/bench
+    // runs accumulate parquet output in the system temp dir. Reap it at
+    // JVM exit instead (after any consumer of the lazy read has run).
+    registerExitCleanup(dir)
     val out = dir.resolve("out").toString
     val q = df.writeStream.format("parquet")
       .option("path", out)

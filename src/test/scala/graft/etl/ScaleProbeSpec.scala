@@ -60,6 +60,25 @@ class ScaleProbeSpec extends SparkSpec {
       assert(maxDelta <= 11 * 2e-3f + 1e-6f)
       blown.unpersist()
     }
+
+    it("stays cross-copy distinct past factor 24 (no perturbation period)") {
+      // The r8 perturbation pmod(k*131 + i*31, 23) was periodic in the
+      // copy index k with period 23 — copies k and k+23 got identical
+      // offsets, so factor >= 24 contained exact duplicate vectors and
+      // the x100/x1000 BENCH_SCALES growth numbers ran over degenerate
+      // LSH/IVF buckets. Factor 26 exercises the first wrap-around decade.
+      val base = Tables.embeddings(spark, sf).limit(40)
+      val blown = ScaleProbe.blowUpEmbeddings(base, 26).cache()
+      assert(blown.count() === 26 * 40)
+      val collided = blown
+        .withColumn("src", pmod(col("vec_id"), lit(100000000L)))
+        .groupBy("src").agg(countDistinct(col("embedding")).as("nd"),
+          count(lit(1)).as("n"))
+        .filter(col("nd") =!= col("n")).count()
+      assert(collided === 0,
+        "copies k and k+23 must not share a perturbation (hash-keyed, not affine)")
+      blown.unpersist()
+    }
   }
 
   describe("ScaleProbe.blowUpEvents") {
