@@ -129,11 +129,7 @@ object Bench {
     // (e.g. "sf0.1") — a full path in one line and a basename in the other
     // would mis-key downstream consumers matching on sf.
     val sfName = new java.io.File(sfDir).getName
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/session init and file-index caching
     // must not be billed to whichever query happens to run first.

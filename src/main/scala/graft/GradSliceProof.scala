@@ -60,9 +60,7 @@ object GradSliceProof {
     val parts = args.lift(1).map(_.toInt).getOrElse(2)
     val mode = args.lift(2).getOrElse("both") // sliced | whole | both
     val (d1, d2) = (20531, 1046) // exact TCGA widths
-    val spark = SparkSession.builder().master(s"local[$parts]")
-      .config("spark.sql.shuffle.partitions", parts.toString)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Sessions.builder(s"local[$parts]", parts.toString).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction shared by the dev/bench/proof mains.
+  *
+  * `SPARK_GRAFT_MASTER` overrides the default `local[n]` master. The
+  * cluster-evidence path (SCALE.md §separate-JVM) sets it to e.g.
+  * `local-cluster[2,8,4096]`, which launches REAL separate worker JVMs:
+  * driver and executors stop sharing a heap, so broadcast, shuffle,
+  * task-result and closure serialization cross genuine process
+  * boundaries — the layer a 1000-executor deployment exercises on every
+  * stage and that plain `local[n]` cannot.
+  *
+  * local-cluster notes (all from the public Spark source —
+  * core/src/main/scala/org/apache/spark/deploy/LocalSparkCluster.scala):
+  *  - workers are forked from SPARK_HOME, so the application classes of
+  *    a bare `java -cp` main are NOT on their classpath (nothing submits
+  *    a jar). The driver's own `java.class.path` is forwarded through
+  *    `spark.executor.extraClassPath`, which is correct when the main is
+  *    launched via `java -cp <full classpath>` (the qsweep_worker.sh
+  *    pattern) and NOT through sbt's in-process classloader.
+  *  - executor memory comes from the third bracket field (MiB).
+  */
+object Sessions {
+
+  /** The resolved master for this process. */
+  def master(defaultMaster: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", defaultMaster)
+
+  /** True when the resolved master runs executors in separate JVMs. */
+  def isSeparateJvm(defaultMaster: String): Boolean =
+    master(defaultMaster).startsWith("local-cluster")
+
+  /** Builder with the graft defaults; forwards the driver classpath to
+    * the forked workers when the master is local-cluster. */
+  def builder(defaultMaster: String, shuffleParts: String): SparkSession.Builder = {
+    val m = master(defaultMaster)
+    val b = SparkSession.builder()
+      .master(m)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.ui.enabled", "false")
+    if (m.startsWith("local-cluster")) {
+      b.config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        // surface serialization errors loudly instead of retrying 4x
+        .config("spark.task.maxFailures", "2")
+    } else b
+  }
+}

@@ -257,35 +257,44 @@ object SimilarityOps {
     * key — never all-pairs. `maxQid` restricts the query side (None =
     * every vector, the dedup/knn-graph shape).
     *
-    * SKEW GUARD (`capPerBucket`, the ANN twin of the dedup banding's
-    * boilerplate cap): a dominant near-duplicate embedding cluster
-    * sends ALL its members to the same (tab, bucket) in every table,
-    * and the within-bucket self-join degrades to O(m²) on that bucket.
-    * The NEIGHBOR side of the join is therefore truncated to the first
-    * `capPerBucket` members per (tab, bucket) in [[bucketScramble]]
-    * order — candidate pairs per bucket drop to m·cap (linear), every
-    * query still gets candidates (the query side is never truncated),
-    * and inside a near-dup bucket any cap-sized subset scores cos ≈ 1,
-    * so top-k quality survives. Physical shape: the rank plans as a
-    * WindowGroupLimit (top-cap per bucket held incrementally — never a
-    * full bucket sort; PlanSpec guards it). When the planner picks a
-    * shuffle join on (tab, bucket) — the big-corpus regime the cap
-    * exists for — the window's hash partitioning is the join's own, so
-    * the cap adds no net exchange; under a broadcast join (small
-    * corpus) it costs one n·L-row exchange on the build side, noise at
-    * that scale. Default 4× the target bucket occupancy, so healthy
-    * buckets (~64) are never touched. */
+    * SKEW GUARD (`capPerBucket` + `chainK`, the ANN twin of the dedup
+    * banding's boilerplate cap): a dominant near-duplicate embedding
+    * cluster sends ALL its members to the same (tab, bucket) in every
+    * table, and the within-bucket self-join degrades to O(m²) on that
+    * bucket. Buckets at or under `capPerBucket` members keep exact
+    * all-pairs semantics; a bucket OVER the cap degrades to
+    * consecutive-rank CHAINS in [[bucketScramble]] order — each member
+    * pairs only with the `chainK` members on either side of its rank —
+    * so an over-cap bucket of m members contributes ≤ m·2·chainK
+    * candidates (linear in m) instead of m·capPerBucket. This is
+    * strictly better than the r8 neighbor-side truncation at
+    * saturation: the ×1000 probe measured candidate volume pinned at
+    * exactly n·L·cap (2.78 B pairs) once every 1000-copy cluster
+    * filled its cap; chains cut that per-bucket constant from cap=256
+    * to 2·chainK=16. Every member still gets ≥ chainK candidates per
+    * table (both chain directions), and inside a near-dup bucket any
+    * chain neighbor scores cos ≈ 1, so top-k quality survives
+    * (AnnRecallSpec pins recall on a 1000-copy skew fixture).
+    *
+    * Physical shape: bucket SIZE is a sort-free count window on the
+    * (tab, bucket) exchange the join needs anyway; the rank sort —
+    * the only per-bucket O(m log m) pass — runs on the over-cap SUBSET
+    * alone (bucket-granular filter, so ranks within a kept bucket are
+    * complete), and the chain join is an equi-join on (tab, bucket,
+    * rank) producing exactly the chain rows, never an all-pairs
+    * intermediate. Default cap 4× the target bucket occupancy, so
+    * healthy buckets (~64) never leave the exact arm. */
   def lshTopK(emb: DataFrame, k: Int, maxQid: Option[Long] = None,
       seeds: Seq[Long] = SimilarityOps.defaultSeeds,
       dims: Int = EmbeddingDim, cacheKey: Option[String] = None,
-      capPerBucket: Int = 256): DataFrame = {
+      capPerBucket: Int = 256, chainK: Int = 8): DataFrame = {
     val n = cacheKey.fold(emb.count())(kk => cachedCount(kk, emb))
     val nBits = scaledLshBits(n)
     val e = cacheKey.fold(bucketedFrame(emb, nBits, seeds, dims))(kk =>
       cachedBucketedFrame(kk, emb, nBits, seeds, dims))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))
-    lshCandidatePairs(e, maxQid, capPerBucket)
+    lshCandidatePairs(e, maxQid, capPerBucket, chainK)
       .select(col("qid"), col("nid"),
         round(fastCosine(col("qe"), col("embedding")), 4).as("cos_sim"))
       .distinct() // collapse multi-table duplicates (cos is deterministic)
@@ -296,22 +305,51 @@ object SimilarityOps {
   }
 
   /** The raw within-bucket candidate join of [[lshTopK]] (pre-cosine,
-    * pre-distinct), exposed so the skew spec can COUNT the work the cap
-    * bounds: ≤ n·L·capPerBucket rows regardless of bucket skew. */
+    * pre-distinct), exposed so the skew spec can COUNT the work the
+    * guard bounds: ≤ Σ_buckets m·min(m-1, capPerBucket) from exact
+    * buckets plus ≤ m·2·chainK from each over-cap bucket — i.e.
+    * ≤ n·L·2·chainK at total saturation, regardless of skew. */
   private[operators] def lshCandidatePairs(e: DataFrame,
-      maxQid: Option[Long], capPerBucket: Int): DataFrame = {
-    val a = maxQid.fold(e)(m => e.filter(col("vec_id") < m))
+      maxQid: Option[Long], capPerBucket: Int,
+      chainK: Int = 8): DataFrame = {
+    // sort-free size annotation on the same (tab, bucket) partitioning
+    // the candidate join shuffles on
+    val sized = e.select(col("vec_id"), col("embedding"),
+        col("tab"), col("bucket"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("tab", "bucket")))
+    def qSide(df: DataFrame) =
+      maxQid.fold(df)(m => df.filter(col("vec_id") < m))
+
+    // exact arm: buckets within the cap do the full within-bucket join
+    val small = sized.filter(col("bsz") <= capPerBucket)
+    val smallPairs = qSide(small)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("tab"), col("bucket"))
-    val bw = Window.partitionBy("tab", "bucket")
-      .orderBy(bucketScramble(col("nid")), col("nid"))
-    val b = e.select(col("vec_id").as("nid"), col("embedding"),
-      col("tab"), col("bucket"))
-      .withColumn("brk", row_number().over(bw))
-      .filter(col("brk") <= capPerBucket)
-      .drop("brk")
-    a.join(b, Seq("tab", "bucket"))
+      .join(small.select(col("vec_id").as("nid"), col("embedding"),
+        col("tab"), col("bucket")), Seq("tab", "bucket"))
       .filter(col("qid") =!= col("nid"))
+
+    // chain arm: over-cap buckets pair rank r with ranks r±1..r±chainK
+    // (scramble order decorrelates rank from id). The filter keeps
+    // whole buckets, so ranks computed after it are complete.
+    val big = sized.filter(col("bsz") > capPerBucket)
+      .withColumn("brk", row_number().over(Window
+        .partitionBy("tab", "bucket")
+        .orderBy(bucketScramble(col("vec_id")), col("vec_id"))))
+    val offs = (-chainK to chainK).filter(_ != 0).map(lit(_))
+    val bigPairs = qSide(big)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tab"), col("bucket"),
+        explode(array(offs: _*)).as("off"), col("brk"))
+      .withColumn("trk", col("brk") + col("off"))
+      .join(big.select(col("vec_id").as("nid"), col("embedding"),
+        col("tab"), col("bucket"), col("brk").as("trk")),
+        Seq("tab", "bucket", "trk"))
+      .select("tab", "bucket", "qid", "qe", "nid", "embedding")
+
+    smallPairs.select("tab", "bucket", "qid", "qe", "nid", "embedding")
+      .unionByName(bigPairs)
   }
 
   /** The embeddings frame the IVF/PQ queries operate on: (vec_id,
@@ -712,8 +750,9 @@ object SimilarityOps {
       // Fully oracled (round 5): the seeded hyperplanes are plan-time
       // constants, so the oracle simply inlines the same literal matrix
       // and replays bucketing → banded self-join → distinct → cosine →
-      // per-query top-3 in SQL. The round-8 skew cap is replayed too:
-      // the neighbor side keeps only the first 256 bucket members in
+      // per-query top-3 in SQL. The round-9 skew guard is replayed too:
+      // buckets ≤ 256 members join all-pairs; over-cap buckets degrade
+      // to ±8 consecutive-rank chains in
       // ((vec_id % 1048573) * (2654435761 % 1048573)) % 1048573 scramble
       // order — operands pre-reduced so the product is integer-exact in
       // both engines at any id scale.
@@ -722,12 +761,15 @@ object SimilarityOps {
               |           row_number() OVER (PARTITION BY tab, bucket
               |             ORDER BY ((vec_id % 1048573)
               |                       * (2654435761 % 1048573)) % 1048573,
-              |                      vec_id) AS brk
+              |                      vec_id) AS brk,
+              |           count(*) OVER (PARTITION BY tab, bucket) AS bsz
               |         FROM sig),
               |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-              |         FROM sig a JOIN sigb b
+              |         FROM sigb a JOIN sigb b
               |           ON a.tab = b.tab AND a.bucket = b.bucket
-              |         WHERE a.vec_id <> b.vec_id AND b.brk <= 256),
+              |         WHERE a.vec_id <> b.vec_id
+              |           AND (a.bsz <= 256
+              |             OR b.brk BETWEEN a.brk - 8 AND a.brk + 8)),
               |scored AS (SELECT c.qid, c.nid,
               |             round(${cosineSql("ea.embedding", "eb.embedding")}, 4)
               |               AS cos_sim

@@ -17,22 +17,51 @@ object Jdbc {
 
   def derbyUrl(dir: String): String = s"jdbc:derby:$dir;create=true"
 
+  /** True when `url` boots the SINGLE-PROCESS embedded Derby engine
+    * (directory subprotocol, vs the `jdbc:derby://host:port/` client
+    * form): only ONE JVM may hold the database at a time (db.lck).
+    * Found the hard way under `local-cluster[2,8,*]` — Spark's
+    * executor-parallel JDBC tasks each boot the engine in their own
+    * JVM and deadlock on the lock file ("Failed to start database"). */
+  def isEmbeddedDerby(url: String): Boolean =
+    url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
+
+  /** True when this session's executors run in JVMs other than the
+    * driver's (local-cluster or a real cluster). */
+  private def separateJvms(spark: SparkSession): Boolean =
+    !spark.sparkContext.isLocal
+
+  /** Executors must never touch a single-process embedded database
+    * from another JVM: route through the driver connection instead.
+    * A REAL deployment points the URL at a database server (the
+    * `//host:port` form), where the executor-parallel paths below are
+    * the ones that run — the driver-local path exists only for the
+    * zero-egress embedded stand-in, whose data is test-sized. */
+  private def driverLocal(spark: SparkSession, url: String): Boolean =
+    isEmbeddedDerby(url) && separateJvms(spark)
+
   def write(df: DataFrame, url: String, table: String,
       mode: String = "overwrite", driver: String = DerbyDriver,
-      batchSize: Int = 1000, columnTypes: Option[String] = None): Unit = {
-    val w = df.write.format("jdbc")
-      .option("url", url).option("dbtable", table)
-      .option("driver", driver)
-      .option("batchsize", batchSize)
-    columnTypes.foreach(w.option("createTableColumnTypes", _))
-    w.mode(mode).save()
-  }
+      batchSize: Int = 1000, columnTypes: Option[String] = None): Unit =
+    if (driverLocal(df.sparkSession, url)) {
+      require(mode == "overwrite",
+        s"driver-local embedded-Derby write supports only overwrite, got $mode")
+      writeViaDriver(df, url, table, batchSize)
+    } else {
+      val w = df.write.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", batchSize)
+      columnTypes.foreach(w.option("createTableColumnTypes", _))
+      w.mode(mode).save()
+    }
 
   /** Parallel partitioned read over a numeric column's range. */
   def read(spark: SparkSession, url: String, table: String,
       partitionCol: String, lower: Long, upper: Long,
       numPartitions: Int = 4, driver: String = DerbyDriver): DataFrame =
-    spark.read.format("jdbc")
+    if (driverLocal(spark, url)) readViaDriver(spark, url, table)
+    else spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("driver", driver)
       .option("partitionColumn", partitionCol)
@@ -43,10 +72,121 @@ object Jdbc {
   /** Single-cursor read (small dims). */
   def readAll(spark: SparkSession, url: String, table: String,
       driver: String = DerbyDriver): DataFrame =
-    spark.read.format("jdbc")
+    if (driverLocal(spark, url)) readViaDriver(spark, url, table)
+    else spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("driver", driver)
       .load()
+
+  /** Spark type → Derby DDL for the driver-local embedded path. String
+    * columns pin to VARCHAR(1024) — the same choice [[upsertBatch]]
+    * documents (Derby's CLOB default cannot be MERGE-compared). */
+  private def derbyType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case StringType => "VARCHAR(1024)"
+      case TimestampType => "TIMESTAMP"
+      case BooleanType => "BOOLEAN"
+      case other => throw new IllegalArgumentException(
+        s"no Derby mapping for $other in the driver-local embedded path")
+    }
+  }
+
+  /** Overwrite `table` through the DRIVER's connection: unquoted table
+    * identifier + quoted lowercase columns — the exact shape Spark's
+    * own JDBC writer creates, so [[upsertBatch]]'s MERGE text works
+    * against tables from either path. Batched inserts over
+    * toLocalIterator keep driver memory bounded at one partition. */
+  private def writeViaDriver(df: DataFrame, url: String, table: String,
+      batchSize: Int): Unit = {
+    val schema = df.schema
+    def q(c: String) = "\"" + c + "\""
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        try st.executeUpdate(s"DROP TABLE $table")
+        catch { case _: java.sql.SQLException => () } // didn't exist
+        st.executeUpdate(s"CREATE TABLE $table (" +
+          schema.fields.map(f => s"${q(f.name)} ${derbyType(f.dataType)}")
+            .mkString(", ") + ")")
+      } finally st.close()
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table (${schema.fieldNames.map(q).mkString(", ")}) " +
+          s"VALUES (${schema.fields.map(_ => "?").mkString(", ")})")
+      try {
+        var inBatch = 0
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (row.isNullAt(i)) ins.setObject(i + 1, null)
+            else ins.setObject(i + 1, row.get(i))
+          }
+          ins.addBatch()
+          inBatch += 1
+          if (inBatch >= batchSize) { ins.executeBatch(); inBatch = 0 }
+        }
+        if (inBatch > 0) ins.executeBatch()
+      } finally ins.close()
+    } finally conn.close()
+  }
+
+  /** Full-table read through the DRIVER's connection, rebuilt as a
+    * (test-sized) local DataFrame. */
+  private def readViaDriver(spark: SparkSession, url: String,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT * FROM $table")
+        val md = rs.getMetaData
+        val n = md.getColumnCount
+        val fields = (1 to n).map { i =>
+          val dt = md.getColumnType(i) match {
+            case java.sql.Types.BIGINT => LongType
+            case java.sql.Types.INTEGER => IntegerType
+            case java.sql.Types.DOUBLE | java.sql.Types.FLOAT => DoubleType
+            case java.sql.Types.REAL => FloatType
+            case java.sql.Types.VARCHAR | java.sql.Types.CLOB => StringType
+            case java.sql.Types.TIMESTAMP => TimestampType
+            case java.sql.Types.BOOLEAN => BooleanType
+            case other => throw new IllegalArgumentException(
+              s"no Spark mapping for java.sql.Types code $other " +
+                "in the driver-local embedded path")
+          }
+          StructField(md.getColumnName(i), dt)
+        }
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (rs.next()) {
+          rows += Row.fromSeq((1 to n).map { i =>
+            val v = fields(i - 1).dataType match {
+              case LongType => rs.getLong(i)
+              case IntegerType => rs.getInt(i)
+              case DoubleType => rs.getDouble(i)
+              case FloatType => rs.getFloat(i)
+              case StringType => rs.getString(i)
+              case TimestampType => rs.getTimestamp(i)
+              case BooleanType => rs.getBoolean(i)
+              case _ => rs.getObject(i)
+            }
+            if (rs.wasNull()) null else v
+          })
+        }
+        rs.close()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq),
+          StructType(fields))
+      } finally st.close()
+    } finally conn.close()
+  }
 
   /** Idempotent key-upsert of one micro-batch into a JDBC table — the
     * `foreachBatch` terminal of a streaming pipeline. The batch lands

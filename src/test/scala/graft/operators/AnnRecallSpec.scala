@@ -67,18 +67,21 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   it("bounds candidate work on a boilerplate-skewed corpus " +
-      "(dominant near-dup cluster)") {
+      "(1000-copy dominant near-dup cluster)") {
     // Adversarial fixture, the ANN twin of TextOpsSpec's 20%-identical
-    // dedup corpus: 1200 vectors where 300 share one dominant direction
-    // (tiny deterministic per-id jitter) — every member lands in the
-    // SAME (tab, bucket) in every hash table, so the uncapped
-    // within-bucket self-join would pay >= L * 300^2 = 540k pairs from
-    // that bucket alone. The cap must bound candidates at n*L*cap and
-    // still return cos~1 neighbors for every cluster member.
+    // dedup corpus, sized to the ×1000 blow-up's failure mode: 1300
+    // vectors where 1000 share one dominant direction (tiny
+    // deterministic per-id jitter) — every member lands in the SAME
+    // (tab, bucket) in every hash table. Uncapped, that bucket alone
+    // pays >= L * 1000^2 = 6M pairs; the r8 neighbor-side truncation
+    // still paid m*cap per table at saturation (the x1000 probe's
+    // 2.78 B-pair wall). The chain degrade must bound the over-cap
+    // bucket at m*2*chainK per table and still return cos~1 neighbors
+    // for every cluster member.
     import spark.implicits._
     val dim = SimilarityOps.EmbeddingDim
-    val n = 1200
-    val nDup = 300
+    val n = 1300
+    val nDup = 1000
     def jitter(id: Long, i: Int): Float =
       (((id * 31 + i * 7) % 97) / 97000.0).toFloat
     val rows = (0L until n.toLong).map { id =>
@@ -99,21 +102,38 @@ class AnnRecallSpec extends SparkSpec {
     assert(maxBucket >= nDup,
       s"fixture failed to produce a dominant bucket (max=$maxBucket)")
     val cap = 64
-    val capped = SimilarityOps.lshCandidatePairs(e, None, cap).count()
-    assert(capped <= n.toLong * seeds.length * cap,
-      s"candidate count $capped exceeds the n*L*cap bound")
-    assert(capped < seeds.length.toLong * nDup * nDup,
-      s"candidate count $capped not bounded below the uncapped " +
-        "dominant-bucket volume")
-    // quality survives the cap: every cluster member still finds a
+    val chainK = 8
+    val pairs = SimilarityOps.lshCandidatePairs(e, None, cap, chainK)
+      .cache()
+    val capped = pairs.count()
+    // exact decomposed bound: all-pairs inside exact buckets, chain
+    // volume inside over-cap buckets
+    val bound = e.groupBy("tab", "bucket").count()
+      .select(sum(when(col("count") > cap, col("count") * (2L * chainK))
+        .otherwise(col("count") * (col("count") - 1)))).head().getLong(0)
+    assert(capped <= bound,
+      s"candidate count $capped exceeds the decomposed bound $bound")
+    // headline: the dominant cluster's own candidate volume is
+    // m*L*2*chainK-shaped — linear in m with a chain-width constant —
+    // where the r8 truncation paid m*L*cap at saturation (16x more at
+    // cap=256/chainK=8; the x1000 probe's 2.78 B-pair wall)
+    val clusterPairs = pairs
+      .filter(col("qid") < nDup && col("nid") < nDup).count()
+    assert(clusterPairs <= nDup.toLong * seeds.length * 2 * chainK,
+      s"dominant-cluster candidates $clusterPairs exceed m*L*2*chainK")
+    assert(clusterPairs < seeds.length.toLong * nDup * cap / 2,
+      s"dominant-cluster candidates $clusterPairs not clearly below the " +
+        "r8 cap-saturation volume — the chain degrade is not engaging")
+    pairs.unpersist()
+    // quality survives the chains: every cluster member still finds a
     // near-identical neighbor at the top
     val top = SimilarityOps.lshTopK(emb, k = 1, dims = dim,
-      capPerBucket = cap)
+      capPerBucket = cap, chainK = chainK)
       .filter(col("qid") < nDup).cache()
-    assert(top.count() == nDup, "a capped query lost cluster members")
+    assert(top.count() == nDup, "a chained query lost cluster members")
     val minTop = top.agg(min("cos_sim")).head().getDouble(0)
     assert(minTop >= 0.99,
-      f"top-1 cosine $minTop%.4f for a near-dup member — cap broke recall")
+      f"top-1 cosine $minTop%.4f for a near-dup member — chains broke recall")
     top.unpersist(); e.unpersist(); emb.unpersist()
   }
 

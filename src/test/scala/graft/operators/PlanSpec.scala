@@ -72,10 +72,14 @@ class PlanSpec extends SparkSpec {
     // is the 12x regression this guards against
     val p = planOf("y4_lsh_ann")
     assert(!p.toLowerCase.contains("xxhash64"), p)
-    // the skew cap must plan as a WindowGroupLimit (top-cap per bucket
-    // held incrementally) — a plain Window + Filter would fully sort
-    // every oversized bucket before discarding it
+    // the per-query top-k must plan as a WindowGroupLimit (top-k per
+    // qid held incrementally — never a full candidate sort per query)
     assert(p.contains("WindowGroupLimit"), p)
+    // the r9 skew guard splits candidates into an exact arm (buckets
+    // <= cap, all-pairs) and a chain arm (over-cap buckets, rank-
+    // adjacency equi-join) — the Union of the two arms must be in the
+    // plan; its absence means the guard was optimized away or removed
+    assert(p.contains("Union"), p)
   }
 
   it("x13_simhash_neardup reads the persisted fingerprint frame (no re-tokenize)") {
