@@ -4,17 +4,24 @@
 #   scripts/cluster_run.sh [-m MASTER] [-x DRIVER_XMX] MAIN [args...]
 #
 # Defaults: MASTER=local-cluster[2,8,4096] (2 forked worker JVMs, 8 cores
-# and 4 GiB each), DRIVER_XMX=4g. Needs /tmp/cp.txt (sbt "export
-# Runtime/fullClasspath") — the main must be launched via bare `java -cp`
-# so Sessions can forward the REAL classpath to the forked workers
-# (sbt's in-process classloader would forward only the sbt launcher jar).
+# and 4 GiB capacity each), DRIVER_XMX=4g, EXEC_MEM=3g. The bracket's
+# third field is the WORKER's capacity, NOT the executor heap — without
+# spark.executor.memory the forked executors run at the 1g default (found
+# the hard way: a 12288-capacity worker OOM'd its 1g executor on a 741 MiB
+# broadcast). EXEC_MEM must fit the worker capacity. Needs /tmp/cp.txt
+# (sbt "export Runtime/fullClasspath") — the main must be launched via
+# bare `java -cp` so Sessions can forward the REAL classpath to the
+# forked workers (sbt's in-process classloader would forward only the
+# sbt launcher jar).
 set -u
 MASTER="local-cluster[2,8,4096]"
 XMX="4g"
-while getopts "m:x:" opt; do
+EXEC_MEM="3g"
+while getopts "m:x:e:" opt; do
   case $opt in
     m) MASTER="$OPTARG";;
     x) XMX="$OPTARG";;
+    e) EXEC_MEM="$OPTARG";;
     *) exit 2;;
   esac
 done
@@ -29,4 +36,5 @@ export SPARK_GRAFT_MASTER="$MASTER"
 export SPARK_SCALA_VERSION=2.13
 exec java -Xmx"$XMX" $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.executor.memory="$EXEC_MEM" \
   -cp "$CP" "$MAIN" "$@"

@@ -8,7 +8,11 @@ import org.scalatest.funspec.AnyFunSpec
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: allow one task retry, the cluster
+      // default behavior (plain local[n] makes any task failure fatal),
+      // so specs can exercise the re-execution path a real cluster
+      // takes constantly (RetryDeterminismSpec injects such failures)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
