@@ -9,8 +9,53 @@ import org.apache.spark.sql.SparkSession
   * Each query runs twice (cold, warm) after an untimed table warmup, so
   * per-query cost separates from session/file-index init. Complements
   * Bench (whole-suite, driver contract) and PlanAudit (plan shapes).
+  *
+  * `SPARK_GRAFT_STAGE_METRICS=1` additionally prints, per completed
+  * stage of the WARM pass, the metrics that diagnose where a blow-up
+  * decade's time goes: shuffle read/write bytes, memory/disk spill, and
+  * executor run time — the evidence behind "spill-bound" claims in
+  * BENCH_SCALES.md (aggregated in-process via a SparkListener, no event
+  * log or UI needed).
   */
 object QueryTime {
+
+  private final class StageMetrics extends org.apache.spark.scheduler.SparkListener {
+    case class Row(id: Int, name: String, tasks: Int, runMs: Long,
+      shufRead: Long, shufWrite: Long, memSpill: Long, diskSpill: Long,
+      input: Long)
+    val rows = new scala.collection.mutable.ArrayBuffer[Row]
+    @volatile var enabled = false
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      if (enabled) {
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        rows += Row(i.stageId, i.name.takeWhile(_ != '\n').take(60),
+          i.numTasks, m.executorRunTime,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.memoryBytesSpilled, m.diskBytesSpilled, m.inputMetrics.bytesRead)
+      }
+    def report(query: String): Unit = {
+      val gb = 1024.0 * 1024 * 1024
+      rows.sortBy(-_.runMs).take(12).foreach { r =>
+        println(f"[qstage] $query ${r.id}%4d ${r.name}%-60s " +
+          f"tasks=${r.tasks}%3d run=${r.runMs / 1000.0}%7.1fs " +
+          f"in=${r.input / gb}%6.2fG sr=${r.shufRead / gb}%6.2fG " +
+          f"sw=${r.shufWrite / gb}%6.2fG " +
+          f"spillMem=${r.memSpill / gb}%6.2fG spillDisk=${r.diskSpill / gb}%6.2fG")
+      }
+      val t = rows
+      println(f"[qstage] $query TOTAL stages=${t.size} " +
+        f"run=${t.map(_.runMs).sum / 1000.0}%.1fs " +
+        f"sr=${t.map(_.shufRead).sum / gb}%.2fG " +
+        f"sw=${t.map(_.shufWrite).sum / gb}%.2fG " +
+        f"spillMem=${t.map(_.memSpill).sum / gb}%.2fG " +
+        f"spillDisk=${t.map(_.diskSpill).sum / gb}%.2fG")
+      rows.clear()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -18,6 +63,11 @@ object QueryTime {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = if (sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1")) {
+      val l = new StageMetrics
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
     Seq("lineitem", "documents", "embeddings", "events").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
@@ -26,13 +76,23 @@ object QueryTime {
       SparkEntry.queries.get(name) match {
         case None => println(s"[qtime] $name: UNKNOWN")
         case Some(fn) =>
-          val times = (1 to 2).map { _ =>
+          val times = (1 to 2).map { pass =>
+            // stage metrics cover the WARM pass only (pass 2): the cold
+            // pass builds pay-once fixtures whose stages would swamp the
+            // steady-state picture
+            metrics.foreach { l => l.enabled = pass == 2; l.rows.clear() }
             val t0 = System.nanoTime()
             val n = fn(spark, sfDir).count()
             ((System.nanoTime() - t0) / 1e9, n)
           }
           println(f"[qtime] $name%-22s cold=${times(0)._1}%6.2fs " +
             f"warm=${times(1)._1}%6.2fs rows=${times(1)._2}")
+          // listener events are posted asynchronously; drain before report
+          metrics.foreach { l =>
+            org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+            l.report(name)
+            l.enabled = false
+          }
       }
     }
     spark.stop()

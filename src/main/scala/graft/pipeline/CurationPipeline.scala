@@ -70,6 +70,11 @@ object CurationPipeline {
 
     // stage 1 — quality resample (the x20 rule): stopword-ratio band ×
     // deterministic multiplicative-hash keep. Pure per-row expressions.
+    // The content hash stage 2 needs is computed HERE, map-side, so the
+    // full text column never crosses an exchange: carrying text through
+    // the stage-2/3/4 joins was measured as the x1000 decade's spill
+    // driver (two ~10 GB sort spills of text-bearing rows per pass —
+    // BENCH_SCALES.md §x29-profile); every shuffled row is now ≤ ~60 B.
     val sr = round(
       size(Fn.filter(toks, t => t.isin(stopWords: _*))).cast("double")
         / greatest(size(toks), lit(1)), 6)
@@ -81,16 +86,19 @@ object CurationPipeline {
         when(col("band") === "high", 1.0)
           .when(col("band") === "mid", 0.5)
           .otherwise(0.1) * lit(4294967296.0))
-      .select("doc_id", "source", "text", "nt")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        col("nt"))
     val qualityM = mat(quality)
 
     // stage 2 — exact dedup (the x4 rule): keep min doc_id per content
-    // hash, over the quality survivors. One md5 shuffle.
+    // hash, over the quality survivors. One hash shuffle (32-char md5,
+    // not the document body).
     val exact = qualityM
-      .groupBy(md5(col("text")).as("h"))
+      .groupBy("h")
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val d2 = mat(qualityM.join(exact, Seq("doc_id"), "left_semi"))
+    val d2 = mat(qualityM.select("doc_id", "source", "nt")
+      .join(exact, Seq("doc_id"), "left_semi"))
 
     // stage 3 — near-dup canonicalization (the x16 components): corpus-
     // wide MinHash-verified pairs → connected components → drop every
