@@ -294,28 +294,40 @@ object SimilarityOps {
       cachedBucketedFrame(kk, emb, nBits, seeds, dims))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))
+    // Candidates travel as SLIM id pairs and dedupe across tables
+    // BEFORE the vectors attach (bucketScramble is table-independent,
+    // so a saturated cluster emits the SAME chain pairs in every table
+    // — distinct cuts those L-fold); embeddings join back by id
+    // afterwards, so no exchange ever carries a vector alongside a
+    // fan-out. This is also exactly the oracle SQL's shape (DISTINCT
+    // cand CTE, then two embeddings joins).
     lshCandidatePairs(e, maxQid, capPerBucket, chainK)
+      .select("qid", "nid").distinct()
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"),
+        col("embedding").as("ne")), Seq("nid"))
       .select(col("qid"), col("nid"),
-        round(fastCosine(col("qe"), col("embedding")), 4).as("cos_sim"))
-      .distinct() // collapse multi-table duplicates (cos is deterministic)
+        round(fastCosine(col("qe"), col("ne")), 4).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "nid", "cos_sim")
       .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
   }
 
-  /** The raw within-bucket candidate join of [[lshTopK]] (pre-cosine,
-    * pre-distinct), exposed so the skew spec can COUNT the work the
-    * guard bounds: ≤ Σ_buckets m·min(m-1, capPerBucket) from exact
-    * buckets plus ≤ m·2·chainK from each over-cap bucket — i.e.
-    * ≤ n·L·2·chainK at total saturation, regardless of skew. */
+  /** The raw within-bucket candidate join of [[lshTopK]] (pre-distinct,
+    * pre-cosine; slim `(tab, bucket, qid, nid)` rows — vectors attach
+    * in [[lshTopK]] AFTER dedup), exposed so the skew spec can COUNT
+    * the work the guard bounds: ≤ Σ_buckets m·min(m-1, capPerBucket)
+    * from exact buckets plus ≤ m·2·chainK from each over-cap bucket —
+    * i.e. ≤ n·L·2·chainK at total saturation, regardless of skew. */
   private[operators] def lshCandidatePairs(e: DataFrame,
       maxQid: Option[Long], capPerBucket: Int,
       chainK: Int = 8): DataFrame = {
     // sort-free size annotation on the same (tab, bucket) partitioning
-    // the candidate join shuffles on
-    val sized = e.select(col("vec_id"), col("embedding"),
-        col("tab"), col("bucket"))
+    // the candidate join shuffles on; embeddings are dropped up front —
+    // every row through these exchanges is a few ids wide
+    val sized = e.select(col("vec_id"), col("tab"), col("bucket"))
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("tab", "bucket")))
     def qSide(df: DataFrame) =
@@ -324,10 +336,9 @@ object SimilarityOps {
     // exact arm: buckets within the cap do the full within-bucket join
     val small = sized.filter(col("bsz") <= capPerBucket)
     val smallPairs = qSide(small)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("tab"), col("bucket"))
-      .join(small.select(col("vec_id").as("nid"), col("embedding"),
-        col("tab"), col("bucket")), Seq("tab", "bucket"))
+      .select(col("vec_id").as("qid"), col("tab"), col("bucket"))
+      .join(small.select(col("vec_id").as("nid"), col("tab"),
+        col("bucket")), Seq("tab", "bucket"))
       .filter(col("qid") =!= col("nid"))
 
     // chain arm: over-cap buckets pair rank r with ranks r±1..r±chainK
@@ -339,16 +350,15 @@ object SimilarityOps {
         .orderBy(bucketScramble(col("vec_id")), col("vec_id"))))
     val offs = (-chainK to chainK).filter(_ != 0).map(lit(_))
     val bigPairs = qSide(big)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("tab"), col("bucket"),
+      .select(col("vec_id").as("qid"), col("tab"), col("bucket"),
         explode(array(offs: _*)).as("off"), col("brk"))
       .withColumn("trk", col("brk") + col("off"))
-      .join(big.select(col("vec_id").as("nid"), col("embedding"),
-        col("tab"), col("bucket"), col("brk").as("trk")),
+      .join(big.select(col("vec_id").as("nid"), col("tab"),
+        col("bucket"), col("brk").as("trk")),
         Seq("tab", "bucket", "trk"))
-      .select("tab", "bucket", "qid", "qe", "nid", "embedding")
+      .select("tab", "bucket", "qid", "nid")
 
-    smallPairs.select("tab", "bucket", "qid", "qe", "nid", "embedding")
+    smallPairs.select("tab", "bucket", "qid", "nid")
       .unionByName(bigPairs)
   }
 

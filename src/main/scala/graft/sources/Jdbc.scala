@@ -101,7 +101,7 @@ object Jdbc {
     * own JDBC writer creates, so [[upsertBatch]]'s MERGE text works
     * against tables from either path. Batched inserts over
     * toLocalIterator keep driver memory bounded at one partition. */
-  private def writeViaDriver(df: DataFrame, url: String, table: String,
+  private[sources] def writeViaDriver(df: DataFrame, url: String, table: String,
       batchSize: Int): Unit = {
     val schema = df.schema
     def q(c: String) = "\"" + c + "\""
@@ -138,7 +138,7 @@ object Jdbc {
 
   /** Full-table read through the DRIVER's connection, rebuilt as a
     * (test-sized) local DataFrame. */
-  private def readViaDriver(spark: SparkSession, url: String,
+  private[sources] def readViaDriver(spark: SparkSession, url: String,
       table: String): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
