@@ -26,16 +26,25 @@ object QueryTime {
     val rows = new scala.collection.mutable.ArrayBuffer[Row]
     @volatile var enabled = false
     override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      if (enabled) {
-        val i = sc.stageInfo
-        val m = i.taskMetrics
-        rows += Row(i.stageId, i.name.takeWhile(_ != '\n').take(60),
-          i.numTasks, m.executorRunTime,
-          m.shuffleReadMetrics.totalBytesRead,
-          m.shuffleWriteMetrics.bytesWritten,
-          m.memoryBytesSpilled, m.diskBytesSpilled, m.inputMetrics.bytesRead)
-      }
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val m = i.taskMetrics
+      val r = Row(i.stageId, i.name.takeWhile(_ != '\n').take(60),
+        i.numTasks, m.executorRunTime,
+        m.shuffleReadMetrics.totalBytesRead,
+        m.shuffleWriteMetrics.bytesWritten,
+        m.memoryBytesSpilled, m.diskBytesSpilled, m.inputMetrics.bytesRead)
+      // stream every completion (both passes) so a crashed run still
+      // shows which stage the bytes went to; the end-of-query report
+      // below aggregates the warm pass only
+      val gb = 1024.0 * 1024 * 1024
+      println(f"[qlive] ${r.id}%4d tasks=${r.tasks}%3d " +
+        f"run=${r.runMs / 1000.0}%7.1fs in=${r.input / gb}%6.2fG " +
+        f"sr=${r.shufRead / gb}%6.2fG sw=${r.shufWrite / gb}%6.2fG " +
+        f"spill=${r.memSpill / gb}%6.2fG/${r.diskSpill / gb}%6.2fG " +
+        r.name)
+      if (enabled) rows += r
+    }
     def report(query: String): Unit = {
       val gb = 1024.0 * 1024 * 1024
       rows.sortBy(-_.runMs).take(12).foreach { r =>

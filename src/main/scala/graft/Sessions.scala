@@ -33,12 +33,19 @@ object Sessions {
     master(defaultMaster).startsWith("local-cluster")
 
   /** Builder with the graft defaults; forwards the driver classpath to
-    * the forked workers when the master is local-cluster. */
+    * the forked workers when the master is local-cluster.
+    *
+    * `SPARK_GRAFT_SHUFFLE` decouples shuffle width from thread count
+    * for blow-up probes: at ×1000 data on 16 threads, 16 partitions
+    * put ~800 MB per sort and 16 concurrent sorts exhaust the
+    * execution pool (UNABLE_TO_ACQUIRE_MEMORY) — exactly the knob a
+    * real deployment turns (partitions sized to data, cores fixed). */
   def builder(defaultMaster: String, shuffleParts: String): SparkSession.Builder = {
     val m = master(defaultMaster)
     val b = SparkSession.builder()
       .master(m)
-      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", shuffleParts))
       .config("spark.ui.enabled", "false")
     if (m.startsWith("local-cluster")) {
       b.config("spark.executor.extraClassPath",

@@ -294,25 +294,73 @@ object SimilarityOps {
       cachedBucketedFrame(kk, emb, nBits, seeds, dims))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))
-    // Candidates travel as SLIM id pairs and dedupe across tables
-    // BEFORE the vectors attach (bucketScramble is table-independent,
-    // so a saturated cluster emits the SAME chain pairs in every table
-    // — distinct cuts those L-fold); embeddings join back by id
-    // afterwards, so no exchange ever carries a vector alongside a
-    // fan-out. This is also exactly the oracle SQL's shape (DISTINCT
-    // cand CTE, then two embeddings joins).
-    lshCandidatePairs(e, maxQid, capPerBucket, chainK)
-      .select("qid", "nid").distinct()
-      .join(emb.select(col("vec_id").as("qid"),
-        col("embedding").as("qe")), Seq("qid"))
-      .join(emb.select(col("vec_id").as("nid"),
-        col("embedding").as("ne")), Seq("nid"))
-      .select(col("qid"), col("nid"),
-        round(fastCosine(col("qe"), col("ne")), 4).as("cos_sim"))
+    lshScoredCandidates(e, maxQid, capPerBucket, chainK)
+      .distinct() // collapse multi-table duplicates (cos is deterministic)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "nid", "cos_sim")
       .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+  }
+
+  /** Scored candidate multiset `(qid, nid, cos_sim)` — one row per
+    * [[lshCandidatePairs]] row (AnnRecallSpec pins the counts equal),
+    * scored WHERE THE BUCKETS ALREADY CO-LOCATE THE VECTORS, so no
+    * exchange ever carries an embedding alongside a fan-out. Two ×1000
+    * probe post-mortems dictate the shape:
+    *  - a gather design (slim pairs → distinct → join embeddings twice)
+    *    re-exchanges ~10⁸ vector-attached intermediate rows between the
+    *    two gather joins — 36 GB sorts / >60 GB shuffle on one box;
+    *  - attaching vectors to the chain arm's exploded side fans a 1 KB
+    *    payload 2·chainK× through the rank equi-join exchange.
+    * Here the exact arm scores inside the (tab, bucket) self-join (both
+    * sides' vectors arrive on the join's own exchange, fan-out streams
+    * through the cosine projection and leaves slim), and the chain arm
+    * uses WINDOW LEADS: `lead(vec_id, j)`/`lead(embedding, j)` for
+    * j = 1..chainK over the scramble-order sort give every member its
+    * chain successors' vectors with ZERO additional exchange; each
+    * successor pair scores once and both query directions are emitted
+    * from the same row (cosine is symmetric). */
+  private[operators] def lshScoredCandidates(e: DataFrame,
+      maxQid: Option[Long], capPerBucket: Int,
+      chainK: Int = 8): DataFrame = {
+    val sized = e.select(col("vec_id"), col("embedding"),
+        col("tab"), col("bucket"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("tab", "bucket")))
+    def qSide(df: DataFrame) =
+      maxQid.fold(df)(m => df.filter(col("qid") < m))
+
+    // exact arm: full within-bucket join, scored in the join stage
+    val small = sized.filter(col("bsz") <= capPerBucket)
+    val smallScored = small
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tab"), col("bucket"))
+      .join(small.select(col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("tab"), col("bucket")),
+        Seq("tab", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(fastCosine(col("qe"), col("ne")), 4).as("cos_sim"))
+
+    // chain arm: over-cap buckets pair rank r with ranks r+1..r+chainK
+    // via window leads (map-side fan-out), mirrored for the r−j side
+    val bigW = Window.partitionBy("tab", "bucket")
+      .orderBy(bucketScramble(col("vec_id")), col("vec_id"))
+    val leadCols = (1 to chainK).map(j =>
+      struct(lead(col("vec_id"), j).over(bigW).as("nid"),
+        lead(col("embedding"), j).over(bigW).as("ne")).as(s"s_$j"))
+    val forward = sized.filter(col("bsz") > capPerBucket)
+      .select(col("vec_id") +: col("embedding") +: leadCols: _*)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(array((1 to chainK).map(j => col(s"s_$j")): _*)).as("p"))
+      .filter(col("p.nid").isNotNull)
+      .select(col("qid"), col("p.nid").as("nid"),
+        round(fastCosine(col("qe"), col("p.ne")), 4).as("cos_sim"))
+    val chainScored = forward.unionByName(
+      forward.select(col("nid").as("qid"), col("qid").as("nid"),
+        col("cos_sim")))
+
+    qSide(smallScored).unionByName(qSide(chainScored))
   }
 
   /** The raw within-bucket candidate join of [[lshTopK]] (pre-distinct,

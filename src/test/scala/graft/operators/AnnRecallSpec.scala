@@ -124,6 +124,13 @@ class AnnRecallSpec extends SparkSpec {
     assert(clusterPairs < seeds.length.toLong * nDup * cap / 2,
       s"dominant-cluster candidates $clusterPairs not clearly below the " +
         "r8 cap-saturation volume — the chain degrade is not engaging")
+    // the SCORED path (vectors co-located in buckets / window leads)
+    // must process exactly the multiset the slim generator counts —
+    // this pins lshTopK's inlined arms to lshCandidatePairs
+    val scored = SimilarityOps.lshScoredCandidates(e, None, cap, chainK)
+      .count()
+    assert(scored === capped,
+      s"scored-candidate multiset $scored != slim-pair multiset $capped")
     pairs.unpersist()
     // quality survives the chains: every cluster member still finds a
     // near-identical neighbor at the top
