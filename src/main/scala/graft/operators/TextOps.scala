@@ -380,21 +380,30 @@ object TextOps {
   def semanticPairs(e: DataFrame, cosMin: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val w = Window.partitionBy("bucket")
-    val ranked = e.select(col("vec_id"), col("embedding"), col("bucket"))
-      .withColumn("rnk", row_number().over(w.orderBy("vec_id")))
+    val sized = e.select(col("vec_id"), col("embedding"), col("bucket"))
       .withColumn("bsz", count(lit(1)).over(w))
-    def side(p: String) = ranked.select(col("vec_id").as(s"id_$p"),
-      col("embedding").as(s"e_$p"), col("bucket"),
-      col("rnk").as(s"rnk_$p"), col("bsz"))
-    val small = side("a").filter(col("bsz") <= maxBucket)
-      .join(side("b").filter(col("bsz") <= maxBucket).drop("bsz"),
-        Seq("bucket"))
+    val small = sized.filter(col("bsz") <= maxBucket)
+      .select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+        col("bucket"))
+      .join(sized.filter(col("bsz") <= maxBucket)
+        .select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+          col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-    val big = side("a").filter(col("bsz") > maxBucket)
-      .join(side("b").filter(col("bsz") > maxBucket).drop("bsz"),
-        Seq("bucket"))
-      .filter(col("rnk_a") + 1 === col("rnk_b"))
-    small.unionByName(big)
+    // over-cap arm via a window LEAD instead of a rank self-join: the
+    // r8 join was keyed on bucket alone with the rank-adjacency as a
+    // post-filter, so an over-cap bucket of m members streamed m²
+    // intermediate pairs through the filter; lead() hands each member
+    // its successor's (id, vector) inside the existing bucket sort —
+    // zero extra exchange, O(m) rows, identical pair set (the x26
+    // oracle replays a.rnk + 1 = b.rnk over the same vec_id order).
+    val bw = w.orderBy("vec_id")
+    val big = sized.filter(col("bsz") > maxBucket)
+      .select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+        lead(col("vec_id"), 1).over(bw).as("id_b"),
+        lead(col("embedding"), 1).over(bw).as("e_b"))
+      .filter(col("id_b").isNotNull)
+    small.select("id_a", "e_a", "id_b", "e_b")
+      .unionByName(big)
       .filter(round(SimilarityOps.fastCosine(col("e_a"), col("e_b")), 4)
         >= cosMin)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))

@@ -297,15 +297,16 @@ class PlanSpec extends SparkSpec {
     val parts = p.split("hashpartitioning\\(").drop(1)
     assert(parts.nonEmpty, p)
     parts.foreach(s => assert(s.startsWith("bucket"), s.take(60) + "\n" + p))
-    // both branches are equi-joins on bucket (+ rank for the chain) —
-    // a nested-loop/cartesian here is the O(m²) shape the cap removes
+    // the small branch is an equi-join on bucket — a nested-loop/
+    // cartesian here is the O(m²) shape the cap removes
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the chain branch joins on consecutive rank
-    assert(p.contains("rnk_a") && p.contains("+ 1"), p)
-    // column pruning drops the row_number window from the small (all-
-    // pairs) branch — it only needs bsz; exactly the big branch's two
-    // sides keep the rank window
-    assert(p.split("row_number\\(\\)").length - 1 == 2, p)
+    // the chain branch is a window LEAD, not a join: the r8 rank
+    // self-join was keyed on bucket alone with rank-adjacency as a
+    // post-filter, which streamed m² intermediate pairs per over-cap
+    // bucket; lead() emits O(m) successor pairs inside the existing
+    // bucket sort. No rank column (row_number) should survive.
+    assert(p.contains("lead("), p)
+    assert(!p.contains("row_number()"), p)
   }
 }
