@@ -46,6 +46,13 @@ object Multimodal {
     * case (synthetic non-image cells) never pays an exception-driven
     * decode attempt. */
   object ImageCodec {
+    // ImageIO defaults to a DISK-backed stream cache: every
+    // encode/decode of an in-memory byte array round-trips a temp FILE,
+    // which at probe scale is ~583k tiny file create/write/delete
+    // cycles per pass (measured 2x+ wall on z17 when /tmp is busy).
+    // The engine only ever codecs byte arrays — cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** True iff the bytes start with a PNG/JPEG/GIF/BMP signature. */
     def looksLikeImage(b: Array[Byte]): Boolean =
       b != null && b.length >= 4 && (
@@ -145,6 +152,9 @@ object Multimodal {
     * one caveat is EXIF thumbnails (a nested SOI/EOI inside APP1),
     * which MJPEG streams don't carry — baseline JFIF frames only. */
   object VideoCodec {
+    // see ImageCodec: byte-array codecs must not round-trip temp files
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** True iff the bytes start with a JPEG SOI marker (an MJPEG stream
       * is its first frame's JPEG). */
     def looksLikeMjpeg(b: Array[Byte]): Boolean =
