@@ -15,14 +15,20 @@ object DormantLosses {
     * TRANSPOSED assignment matrices (cosine similarity between the 2k
     * cluster columns, positives at ±k, CE sum / 2k).
     */
+  /** A14 kernel in isolation: negative entropy of a view's cluster-usage
+    * distribution, log k + Σ p log p with p = column-mass / total-mass
+    * (contrastive_loss.py:79-84). Public so the oracle-checked
+    * `a14_usage_entropy` query surface can be spec-pinned to the exact
+    * kernel the dormant loss runs (`DormantLossesSpec`). */
+  def negEntropy(c: DenseMatrix[Double]): Double = {
+    val p = DenseVector.tabulate(c.cols)(j => sum(c(::, j)))
+    val ps = p / sum(p)
+    math.log(c.cols) + sum(ps.map(v => v * math.log(v)))
+  }
+
   def clusterLoss(cI: DenseMatrix[Double], cJ: DenseMatrix[Double],
       temperature: Double): Double = {
     val k = cI.cols
-    def negEntropy(c: DenseMatrix[Double]): Double = {
-      val p = DenseVector.tabulate(c.cols)(j => sum(c(::, j)))
-      val ps = p / sum(p)
-      math.log(c.cols) + sum(ps.map(v => v * math.log(v)))
-    }
     val neLoss = negEntropy(cI) + negEntropy(cJ)
 
     // 2k rows, each a cluster column (torch CosineSimilarity eps 1e-8)

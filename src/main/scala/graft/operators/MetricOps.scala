@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
 import graft.metrics.{ClusterQuality, ClusteringMetrics, Hungarian, ReconLoss}
+import graft.nn.Activations
 
 /** The metrics layer exposed through the driver's oracle-checked query
   * surface: clustering-agreement metrics over a categorical pair on
@@ -393,6 +395,110 @@ object MetricOps {
               dots AS (SELECT label, dim, sum(prod) AS col_dot
                        FROM long GROUP BY 1, 2)
               SELECT label, round(sum(col_dot * col_dot), 6) AS o3
-              FROM dots GROUP BY label ORDER BY label"""))
+              FROM dots GROUP BY label ORDER BY label""")),
+
+    // F8 — the kernel's activation functions (sigmoid / tanh / relu) as
+    // codegen'd Columns over a signed input ((l_quantity-25)/10 spans
+    // ~[-2.4, +2.5], so both relu branches and the non-saturated
+    // sigmoid/tanh range are exercised). Same scalar math as the batch
+    // kernel's SigmoidSpec/TanhSpec/ReluSpec arms (ActivationsSpec pins
+    // the equality). The oracle's DuckDB (1.0.0) ships no tanh builtin,
+    // so the tanh column goes through the identity tanh(x) = 2σ(2x)−1 —
+    // BOTH sides evaluate that same expression tree (still driving
+    // Activations.sigmoid), keeping the comparison bit-exact instead of
+    // trusting two libm tanh implementations to round alike.
+    QueryDef(
+      "f8_activations",
+      (s, d) => {
+        val x = (col("l_quantity") - lit(25.0)) / lit(10.0)
+        T.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(Activations.sigmoid(x), 6).as("sig_x"),
+          round(lit(2.0) * Activations.sigmoid(lit(2.0) * x) - lit(1.0), 6)
+            .as("tanh_x"),
+          round(Activations.relu(x), 6).as("relu_x"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(1.0 / (1.0 + exp(-((l_quantity - 25.0) / 10.0))), 6)
+                       AS sig_x,
+                     round(2.0 * (1.0 / (1.0 +
+                       exp(-(2.0 * ((l_quantity - 25.0) / 10.0))))) - 1.0, 6)
+                       AS tanh_x,
+                     round(CASE WHEN (l_quantity - 25.0) / 10.0 > 0.0
+                                THEN (l_quantity - 25.0) / 10.0
+                                ELSE 0.0 END, 6) AS relu_x
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // A14 — ClusterLoss usage-entropy term (contrastive_loss.py:79-84):
+    // log k + Σ p log p of each view's cluster-usage distribution. Views
+    // are the vec_id parity split; "usage" is the label mass per view
+    // (the one-hot assignment-matrix column sums the dormant loss sees).
+    // Distributed shape: ONE hash-agg to (view,label) counts (k·2 rows),
+    // a tiny window for the per-view mass, and a broadcast 1-row k frame
+    // — nothing driver-side. DormantLossesSpec pins this formula to
+    // DormantLosses.negEntropy on a one-hot matrix of the same labels.
+    QueryDef(
+      "a14_usage_entropy",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+          .withColumn("view", pmod(col("vec_id"), lit(2)))
+        val counts = e.groupBy("view", "label")
+          .agg(count(lit(1)).cast("double").as("cnt"))
+        val p = counts.withColumn("p",
+          col("cnt") / sum("cnt").over(Window.partitionBy("view")))
+        val kdf = e.select(countDistinct("label").cast("double").as("k"))
+        p.groupBy("view")
+          .agg(sum(col("p") * log(col("p"))).as("plogp"))
+          .crossJoin(broadcast(kdf))
+          .select(col("view"),
+            round(log(col("k")) + col("plogp"), 6).as("neg_entropy"))
+          .orderBy("view")
+      },
+      Some("""WITH c AS (SELECT vec_id % 2 AS view, label,
+                                CAST(count(*) AS DOUBLE) AS cnt
+                         FROM embeddings GROUP BY 1, 2),
+                   p AS (SELECT view,
+                                cnt / sum(cnt) OVER (PARTITION BY view) AS p
+                         FROM c),
+                   k AS (SELECT CAST(count(DISTINCT label) AS DOUBLE) AS k
+                         FROM embeddings)
+              SELECT view, round(ln(k.k) + sum(p * ln(p)), 6) AS neg_entropy
+              FROM p, k GROUP BY view, k.k ORDER BY view""")),
+
+    // A15 — the CCA cross-covariance block S12 (objectives.py:25-33:
+    // centered cross-products / (m-1)) between the first 4 dims of each
+    // embedding half, long-form (i, j, cov). One scan, sixteen
+    // covar_samp aggregates in a single partial+final hash-agg, then a
+    // plan-time stack to rows — no second pass, no driver math.
+    // DormantLossesSpec pins covar_samp against the distributedGram
+    // treeAggregate path on centered columns.
+    QueryDef(
+      "a15_cca_cov",
+      (s, d) => {
+        val dims = 4
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val base = T.embeddings(s, d).select(
+          (1 to dims).map(i => element_at(v, i).as(s"a$i")) ++
+            (1 to dims).map(j => element_at(v, 32 + j).as(s"b$j")): _*)
+        val aggs = for { i <- 1 to dims; j <- 1 to dims }
+          yield round(covar_samp(col(s"a$i"), col(s"b$j")), 6)
+            .as(s"c${i}_$j")
+        val one = base.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = (for { i <- 1 to dims; j <- 1 to dims }
+          yield s"$i, $j, c${i}_$j").mkString(", ")
+        one.select(expr(
+            s"stack(${dims * dims}, $stackArgs) AS (i, j, cov)"))
+          .orderBy("i", "j")
+      },
+      Some {
+        val dims = 4
+        val rows = (for { i <- 1 to dims; j <- 1 to dims } yield
+          s"""SELECT $i AS i, $j AS j,
+                round(covar_samp(CAST(embedding[$i] AS DOUBLE),
+                                 CAST(embedding[${32 + j}] AS DOUBLE)), 6)
+                  AS cov FROM embeddings""").mkString("\nUNION ALL\n")
+        s"SELECT i, j, cov FROM (\n$rows\n) ORDER BY i, j"
+      })
   )
 }

@@ -133,6 +133,21 @@ object RelationalOps {
       Some("""SELECT p_partkey, p_name AS part_name, p_brand, p_type
               FROM part ORDER BY p_partkey""")),
 
+    // P6: dict-style key-substring filter (AE_results.ipynb cell 28:
+    // `{k: v for k, v in d.items() if setting in k}`) — a pure
+    // `contains` predicate, pushed to the parquet scan as a
+    // StringContains filter. Keys here are document source tags
+    // ("src0".."srcN"); substring "1" keeps the non-trivial subset
+    // (src1, src10-19, src21, ...) so both branches carry rows.
+    QueryDef(
+      "p6_key_filter",
+      (s, d) => T.documents(s, d)
+        .filter(col("source").contains("1"))
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+              WHERE source LIKE '%1%' ORDER BY doc_id""")),
+
     // ---- §2.3 joins / set ops -------------------------------------------
     // J1: key-aligned equi-join of two views
     // (Simulation_Models/CNC_AE_model_selection.py:510-518). Catalyst picks
@@ -640,6 +655,29 @@ object RelationalOps {
                           WHEN value < 0.0001 THEN printf('%.7f', value)
                           ELSE printf('%.4f', value) END AS fmt
               FROM u ORDER BY l_returnflag, metric""")),
+
+    // F9: float32 cast (CNC_AE_model_selection.py:247-248
+    // `type(torch.float32)`). The engine computes in Double (SURVEY §2.8
+    // F9 documents the tolerance); this query pins the cast ITSELF: the
+    // double→float32→double round-trip is IEEE-754 round-to-nearest in
+    // both engines, so values must match BIT-exactly — no rounding on
+    // either side. Also emits the round-trip error scaled to ULP-ish
+    // magnitude so the hash sees the precision loss, not just the value.
+    QueryDef(
+      "f9_float32_cast",
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("float").cast("double").as("price_f32"),
+          round((col("l_extendedprice") -
+            col("l_extendedprice").cast("float").cast("double")) * 1e6, 6)
+            .as("err_ppm"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS price_f32,
+                     round((l_extendedprice -
+                            CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)) * 1e6, 6)
+                       AS err_ppm
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
     // F10: unpivot / pivot_longer (AE_results.ipynb cell 130). Spark-side
     // stack() of per-flag aggregates; DuckDB-side UNION ALL.

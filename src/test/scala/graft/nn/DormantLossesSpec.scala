@@ -52,4 +52,49 @@ class DormantLossesSpec extends SparkSpec {
         assert(math.abs(g(i, j) - local(i, j)) < 1e-12)
     }
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  describe("a14_usage_entropy ↔ negEntropy kernel") {
+    it("the oracle-checked query equals negEntropy of the one-hot usage matrix") {
+      val q = graft.SparkEntry.queries("a14_usage_entropy")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // rebuild each view's one-hot assignment matrix from the same table
+      val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+        .selectExpr("vec_id % 2 AS view", "label").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val labels = rows.map(_._2).distinct.sorted
+      val k = labels.length
+      for (view <- Seq(0L, 1L)) {
+        val vs = rows.filter(_._1 == view).map(_._2)
+        val onehot = DenseMatrix.tabulate(vs.length, k)((r, c) =>
+          if (vs(r) == labels(c)) 1.0 else 0.0)
+        val expected = DormantLosses.negEntropy(onehot)
+        assert(math.abs(q(view) - (math.rint(expected * 1e6) / 1e6)) < 2e-6,
+          s"view=$view query=${q(view)} kernel=$expected")
+      }
+    }
+  }
+
+  describe("a15_cca_cov ↔ distributedGram covariance") {
+    it("the oracle-checked covar_samp block equals the treeAggregate path") {
+      val q = graft.SparkEntry.queries("a15_cca_cov")(spark, sf)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      // centered (a1..a4, b1..b4) rows through the A15 distributed path
+      val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+        .selectExpr((1 to 4).map(i => s"CAST(embedding[${i - 1}] AS DOUBLE)") ++
+          (1 to 4).map(j => s"CAST(embedding[${32 + j - 1}] AS DOUBLE)"): _*)
+        .collect().map(r => Array.tabulate(8)(r.getDouble))
+      val m = raw.length.toDouble
+      val means = Array.tabulate(8)(c => raw.map(_(c)).sum / m)
+      val centered = raw.map(row => Array.tabulate(8)(c => row(c) - means(c)))
+      val g = DormantLosses.distributedGram(
+        spark.sparkContext.parallelize(centered.toSeq, 3), 8)
+      for (i <- 1 to 4; j <- 1 to 4) {
+        val cov = g(i - 1, 4 + j - 1) / (m - 1)
+        assert(math.abs(q((i, j)) - (math.rint(cov * 1e6) / 1e6)) < 2e-6,
+          s"($i,$j) query=${q((i, j))} gram=$cov")
+      }
+    }
+  }
 }
