@@ -275,6 +275,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  it("f8/f9 scalar casts and activations shuffle only for the " +
+      "presentation sort") {
+    // pure per-row expressions over lineitem: no hash exchange, and the
+    // scan must prune to the three columns each query reads
+    for ((name, c) <- Seq("f8_activations" -> "l_quantity",
+        "f9_float32_cast" -> "l_extendedprice")) {
+      val p = planOf(name)
+      assert(!p.contains("hashpartitioning"), s"$name shuffled\n$p")
+      assert(p.contains(
+        s"ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,$c"),
+        s"$name did not prune the scan\n$p")
+    }
+  }
+
+  it("a14_usage_entropy aggregates to k·2 rows before its tiny window") {
+    // the only row-volume exchange is the (view,label) count rollup
+    // with map-side partials; the per-view window and the log-k cross
+    // join run over k·2 rows, and the 1-row k frame must broadcast
+    val p = planOf("a14_usage_entropy")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  it("a15_cca_cov computes all 16 covariances in ONE partial+final agg") {
+    // one scan, sixteen covar_samp aggregates sharing a single
+    // partial/final pair (no per-pair passes), stack()ed plan-time —
+    // a Generate-free, join-free plan
+    val p = planOf("a15_cca_cov")
+    assert(p.contains("partial_covar_samp"), p)
+    assert(!p.contains("Join"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans scans\n$p")
+  }
+
+  it("p6_key_filter pushes the substring predicate to the scan") {
+    val p = planOf("p6_key_filter")
+    assert(p.contains("StringContains(source,1)"), p)
+  }
+
   it("a13_ortho_o3 explodes long-form with map-side-combined dim sums") {
     // per-DIMENSION dots need the long form: posexplode (Generate),
     // then (label, dim) partial sums BEFORE the exchange so only
