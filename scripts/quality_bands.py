@@ -116,8 +116,8 @@ def main():
         one, _ = load_logs([p])
         if one:
             attr_by_axis[p] = one
-    r7, _ = load_logs(glob.glob('QUALITY_r7.log')
-                  + glob.glob('logs/QUALITY_r7.log'))
+    r7_paths = glob.glob('QUALITY_r7.log') + glob.glob('logs/QUALITY_r7.log')
+    r7, _ = load_logs(r7_paths)
 
     missing = [(f, d) for f in FAMILIES for d in DATASETS
                if (f, d) not in eng]
@@ -129,7 +129,9 @@ def main():
     splice_bad = list(conflicts)
     for key, v in r7.items():
         if key in eng and eng[key] != v:
-            splice_bad.append((key, v, eng[key], 'logs/QUALITY_r7.log'))
+            # name the files actually loaded, not a hardcoded path that
+            # may not be the source of the conflicting value
+            splice_bad.append((key, v, eng[key], '+'.join(r7_paths)))
     n_overlap = sum(1 for k in r7 if k in eng)
 
     detail = '--detail' in sys.argv

@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.SimilarityOps
+import graft.operators.{AnnEval, SimilarityOps}
 
 /** ANN recall at probe scale: the BENCH_SCALES blow-ups established the
   * y-family's TIME behavior across decades; this measures its ANSWER
@@ -24,21 +23,6 @@ import graft.operators.SimilarityOps
   * SCALE.md §ANN recall.
   */
 object AnnRecallProbe {
-
-  private def topCosine(corpus: DataFrame, maxQid: Long, k: Int): DataFrame = {
-    val q = corpus.filter(col("vec_id") < maxQid)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cos_sim").desc, col("nid"))
-    corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      .crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        SimilarityOps.fastCosine(col("qe"), col("ne")).as("cos_sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("qid", "nid")
-  }
 
   private def topL2(corpus: DataFrame, q: Seq[Double], k: Int): DataFrame =
     corpus.filter(col("vec_id") =!= 0)
@@ -89,8 +73,10 @@ object AnnRecallProbe {
     val n = corpus.count()
     println(s"[recall] corpus x$factor = $n vectors")
 
-    // cosine ground truth, qids 0..19, k=3 (y4/y5's own shape)
-    val exact3 = pairs(topCosine(corpus, 20, 3))
+    // cosine ground truth, qids 0..19, k=3 (y4/y5's own shape) — the
+    // SHARED methodology implementation (AnnEval), which
+    // BlowupRecallSpec pins in CI so probe and spec cannot drift
+    val exact3 = pairs(AnnEval.exactCosineTopK(corpus, 20, 3))
     val y5 = pairs(SparkEntry.queries("y5_ivf_ann")(spark, dir)
       .select("qid", "nid"))
     val y4 = pairs(SimilarityOps.lshTopK(corpus, k = 3, maxQid = Some(20))
@@ -158,16 +144,24 @@ object AnnRecallProbe {
     // SURFACE (eps 5e-5 — half the 4-dp rounding the contract queries
     // emit, so copies that tie at the query's own output precision
     // count as hits; x10 verbose run confirmed every strict cos miss
-    // is such a tie, within 1e-4 of the threshold)
-    val geS = (a: Double, t: Double) => a >= t - 5e-5
+    // is such a tie, within 1e-4 of the threshold). Cosine arms go
+    // through AnnEval — the same implementation BlowupRecallSpec runs
+    // in CI — so the recorded numbers and the CI guard cannot drift.
+    val kthDf = AnnEval.cosineThresholds(corpus, 20, 3).cache()
+    def pairDf(p: Seq[(Long, Long)]): DataFrame = {
+      import spark.implicits._
+      p.toDF("qid", "nid")
+    }
+    def cosRecall(ap: Seq[(Long, Long)], e: Double): Double =
+      AnnEval.thresholdRecall(pairDf(ap), corpus, kthDf, 20, 3, e)
     println(f"[recall] x$factor%d n=$n%d strict" +
-      f"  y4_lsh=${recall(y4, kthCos, cosOf, geC, 3)}%.3f" +
-      f"  y5_ivf=${recall(y5, kthCos, cosOf, geC, 3)}%.3f" +
+      f"  y4_lsh=${cosRecall(y4, eps)}%.3f" +
+      f"  y5_ivf=${cosRecall(y5, eps)}%.3f" +
       f"  y6_pq=${recall(y6, kthL2, d2Of, leD, 10)}%.3f" +
       f"  y7_ivfpq=${recall(y7, kthL2, d2Of, leD, 10)}%.3f")
     println(f"[recall] x$factor%d n=$n%d at-4dp" +
-      f"  y4_lsh=${recall(y4, kthCos, cosOf, geS, 3)}%.3f" +
-      f"  y5_ivf=${recall(y5, kthCos, cosOf, geS, 3)}%.3f")
+      f"  y4_lsh=${cosRecall(y4, 5e-5)}%.3f" +
+      f"  y5_ivf=${cosRecall(y5, 5e-5)}%.3f")
     // ADC arms at blow-up scale: every copy of a source quantizes to
     // the SAME PQ code (the ±2% perturbation is below sub-quantizer
     // cell width), so ADC distance ties across all factor−1 copies and

@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object ExecutorLossProof {
 
-  private def executorPids(): Seq[Long] = {
+  /** Executor JVMs of THIS application only: the backend's cmdline
+    * carries `--app-id <applicationId>`, and scoping on it keeps the
+    * SIGKILL from landing on an unrelated Spark job sharing the box
+    * (e.g. a concurrent cluster_run.sh — its executors also match a
+    * bare CoarseGrainedExecutorBackend scan). */
+  private def executorPids(appId: String): Seq[Long] = {
     val self = ProcessHandle.current().pid()
     val procs = new java.io.File("/proc").listFiles()
     if (procs == null) return Seq.empty
@@ -37,7 +42,8 @@ object ExecutorLossProof {
       else try {
         val cmd = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(s"/proc/$pid/cmdline")), "UTF-8")
-        if (cmd.contains("CoarseGrainedExecutorBackend")) Some(pid.toLong)
+        if (cmd.contains("CoarseGrainedExecutorBackend") &&
+          cmd.contains(appId)) Some(pid.toLong)
         else None
       } catch { case _: Throwable => None }
     }.sorted
@@ -74,7 +80,8 @@ object ExecutorLossProof {
     val cleanWall = (System.nanoTime() - t1) / 1e9
     println(f"[exekill] clean pass: ${cleanWall}%.1f s over ${names.size} queries")
 
-    val before = executorPids()
+    val appId = spark.sparkContext.applicationId
+    val before = executorPids(appId)
     println(s"[exekill] executor JVMs before: ${before.mkString(", ")}")
     require(before.size >= 2, s"expected >=2 forked executors, saw $before")
 
@@ -90,7 +97,7 @@ object ExecutorLossProof {
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (tracker.getActiveStageIds.isEmpty &&
         System.nanoTime() < deadline) Thread.sleep(20)
-      val victim = executorPids().headOption.getOrElse(0L)
+      val victim = executorPids(appId).headOption.getOrElse(0L)
       if (victim != 0L) {
         stagesAtKill = tracker.getActiveStageIds.length
         new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
@@ -106,7 +113,7 @@ object ExecutorLossProof {
     val woundedEnd = System.nanoTime()
     killer.join()
     val woundedWall = (woundedEnd - t2) / 1e9
-    val after = executorPids()
+    val after = executorPids(appId)
     println(f"[exekill] wounded pass: ${woundedWall}%.1f s; killed pid $killedPid mid-stage (active stages at kill: $stagesAtKill); executors after: ${after.mkString(", ")}")
 
     if (killedPid == 0L || killedAt >= woundedEnd || stagesAtKill < 1) {

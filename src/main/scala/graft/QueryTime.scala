@@ -88,8 +88,15 @@ object QueryTime {
           val times = (1 to 2).map { pass =>
             // stage metrics cover the WARM pass only (pass 2): the cold
             // pass builds pay-once fixtures whose stages would swamp the
-            // steady-state picture
-            metrics.foreach { l => l.enabled = pass == 2; l.rows.clear() }
+            // steady-state picture. Drain the async listener bus BEFORE
+            // flipping enabled, or late cold-pass stage-completed events
+            // (thousands of tasks under the blow-up runs this profiles)
+            // get attributed to the warm report.
+            metrics.foreach { l =>
+              org.apache.spark.graftbridge.ListenerBridge
+                .drain(spark.sparkContext)
+              l.enabled = pass == 2; l.rows.clear()
+            }
             val t0 = System.nanoTime()
             val n = fn(spark, sfDir).count()
             ((System.nanoTime() - t0) / 1e9, n)

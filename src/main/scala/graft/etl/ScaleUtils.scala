@@ -23,6 +23,31 @@ object ScaleUtils {
       .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
 
+  /** Content-keyed tag: the path PLUS (name, length, mtime) of every
+    * file under it. A cross-JVM persisted model keyed on `pathTag`
+    * alone goes stale when the data at a reused path is rewritten —
+    * the blow-up probes regenerate /tmp corpus dirs in place, and a
+    * warehouse model fit on the previous corpus would be silently
+    * loaded (found by review in round 9: the pre-fix x10/x100 IVF
+    * models survived the blowUpEmbeddings perturbation change). Stable
+    * dirs (the driver's /root/testdata) keep a stable tag, so
+    * fit-once persistence still pays off where it should. */
+  def dataTag(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(walk)
+      else Seq(f)
+    val sig = new StringBuilder(path)
+    walk(new java.io.File(path)).foreach { f =>
+      sig.append('|').append(f.getName).append(':')
+        .append(f.length()).append(':').append(f.lastModified())
+    }
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(sig.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Exact two-phase salted sum/count aggregation:
     * groupBy(keys, salt) partial → groupBy(keys) merge. Use when one
     * key dominates (AQE skew-join covers joins; this covers groupBy).

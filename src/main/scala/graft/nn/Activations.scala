@@ -27,6 +27,10 @@ object Activations {
   /** The kernel's arm verbatim: `if (v > 0) v else 0.0`. NOT
     * `greatest(x, 0.0)` — greatest's nan-safe compare treats -0.0 and
     * +0.0 as equal and would keep the first child's -0.0, where the
-    * kernel (and torch relu) return +0.0. */
-  def relu(x: Column): Column = when(x > lit(0.0), x).otherwise(lit(0.0))
+    * kernel (and torch relu) return +0.0. NOT a bare `when(x > 0)`
+    * either — Spark SQL's comparison orders NaN above every double, so
+    * `NaN > 0.0` is TRUE in Catalyst where Java's primitive compare is
+    * false; the isnan guard keeps relu(NaN) = 0.0 on both paths. */
+  def relu(x: Column): Column =
+    when(!isnan(x) && x > lit(0.0), x).otherwise(lit(0.0))
 }

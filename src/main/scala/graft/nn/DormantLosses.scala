@@ -19,7 +19,15 @@ object DormantLosses {
     * distribution, log k + Σ p log p with p = column-mass / total-mass
     * (contrastive_loss.py:79-84). Public so the oracle-checked
     * `a14_usage_entropy` query surface can be spec-pinned to the exact
-    * kernel the dormant loss runs (`DormantLossesSpec`). */
+    * kernel the dormant loss runs (`DormantLossesSpec`).
+    *
+    * Zero-mass columns: p=0 gives 0·log 0 = NaN, EXACTLY like the
+    * reference's `(p_i * torch.log(p_i)).sum()` — torch NaNs there too,
+    * so this is reference semantics, not a defect. The a14 query
+    * surface aggregates only labels that OCCUR in a view (a groupBy has
+    * no zero rows), so query ↔ kernel equivalence holds on inputs where
+    * every label occurs in every view (true of the embeddings fixture;
+    * spec-pinned both ways in DormantLossesSpec). */
   def negEntropy(c: DenseMatrix[Double]): Double = {
     val p = DenseVector.tabulate(c.cols)(j => sum(c(::, j)))
     val ps = p / sum(p)

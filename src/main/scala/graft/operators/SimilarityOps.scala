@@ -443,9 +443,12 @@ object SimilarityOps {
     val k = math.min(math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt),
       MaxIvfCells)
     val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // dataTag, not pathTag: the persisted model must go stale with the
+    // data — blow-up probes rewrite the same /tmp dir, and a path-keyed
+    // model fit on the previous corpus would be silently loaded
     val model = Clustering.kmeansModelCached(s"ivf:$d:$k", e, k = k,
-      seed = 42, maxIter = 5, persistPath =
-        Some(s"$warehouse/graft_ivf_${graft.etl.ScaleUtils.pathTag(d)}_k$k"))
+      seed = 42, maxIter = 5, persistPath = Some(s"$warehouse/graft_ivf_" +
+        s"${graft.etl.ScaleUtils.dataTag(s"$d/embeddings.parquet")}_k$k"))
     model.clusterCenters.toSeq.map(_.toArray.toSeq)
   }
 

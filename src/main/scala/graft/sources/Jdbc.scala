@@ -46,6 +46,14 @@ object Jdbc {
     if (driverLocal(df.sparkSession, url)) {
       require(mode == "overwrite",
         s"driver-local embedded-Derby write supports only overwrite, got $mode")
+      // loud, like the mode gate: the driver path creates the table from
+      // derbyType's fixed mapping, so a caller-supplied
+      // createTableColumnTypes would be silently dropped — and surface
+      // later as e.g. a VARCHAR truncation error far from its cause
+      require(columnTypes.isEmpty,
+        "driver-local embedded-Derby write ignores createTableColumnTypes " +
+          s"(got ${columnTypes.get}); it types columns via derbyType — " +
+          "use a server-mode URL for custom column types")
       writeViaDriver(df, url, table, batchSize)
     } else {
       val w = df.write.format("jdbc")

@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
 class ActivationsSpec extends SparkSpec {
 
   // the grid crosses zero, ±0.0, saturation, subnormal-ish and large
-  // magnitudes — every branch and rounding regime of the three arms
+  // magnitudes, ±Inf and NaN — every branch and rounding regime of the
+  // three arms (NaN pins the Catalyst-vs-Java comparison divergence:
+  // Spark SQL orders NaN above every double, so a bare `when(x > 0)`
+  // relu would return NaN where the kernel's `if (v > 0)` returns 0.0)
   private val grid: Seq[Double] = Seq(
     -1e9, -700.0, -20.0, -3.5, -1.0, -0.25, -1e-12, -0.0, 0.0, 1e-12,
-    0.25, 1.0, 3.5, 20.0, 700.0, 1e9)
+    0.25, 1.0, 3.5, 20.0, 700.0, 1e9,
+    Double.NegativeInfinity, Double.PositiveInfinity, Double.NaN)
 
   it("Column sigmoid/tanh/relu equal the kernel's scalar math exactly") {
     import spark.implicits._
+    // doubleToLongBits canonicalizes NaN, so NaN == NaN here and the
+    // exact-equality contract extends to the whole grid
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
     val rows = grid.toDF("x")
       .select(col("x"),
         Activations.sigmoid(col("x")).as("sig"),
@@ -31,9 +38,9 @@ class ActivationsSpec extends SparkSpec {
       val kSig = 1.0 / (1.0 + math.exp(-x))
       val kTanh = math.tanh(x)
       val kRelu = if (x > 0) x else 0.0
-      assert(r.getDouble(1) == kSig, s"sigmoid($x)")
-      assert(r.getDouble(2) == kTanh, s"tanh($x)")
-      assert(r.getDouble(3) == kRelu, s"relu($x)")
+      assert(bits(r.getDouble(1)) == bits(kSig), s"sigmoid($x)")
+      assert(bits(r.getDouble(2)) == bits(kTanh), s"tanh($x)")
+      assert(bits(r.getDouble(3)) == bits(kRelu), s"relu($x)")
     }
   }
 

@@ -74,6 +74,24 @@ class DormantLossesSpec extends SparkSpec {
           s"view=$view query=${q(view)} kernel=$expected")
       }
     }
+
+    it("zero-mass cluster columns NaN exactly like the reference " +
+        "(the query ↔ kernel equivalence is scoped to all-present labels)") {
+      // contrastive_loss.py:79-84 computes (p * torch.log(p)).sum():
+      // torch NaNs on p=0 (0 · -inf), so the kernel must too — a
+      // "fixed" 0·log 0 = 0 arm would silently deviate from reference
+      // semantics. The a14 QUERY instead aggregates only labels that
+      // occur (groupBy has no zero rows) and stays finite; equivalence
+      // between the two holds on inputs where every label occurs in
+      // every view, which the previous case exercises.
+      val withEmpty = DenseMatrix.tabulate(4, 3)((r, c) =>
+        if (c == 2) 0.0 else if (r % 2 == c) 1.0 else 0.0)
+      assert(DormantLosses.negEntropy(withEmpty).isNaN,
+        "zero-mass column must NaN like torch's p*log(p)")
+      val allPresent = DenseMatrix.tabulate(4, 2)((r, c) =>
+        if (r % 2 == c) 1.0 else 0.0)
+      assert(!DormantLosses.negEntropy(allPresent).isNaN)
+    }
   }
 
   describe("a15_cca_cov ↔ distributedGram covariance") {

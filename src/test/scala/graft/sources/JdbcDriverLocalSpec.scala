@@ -12,12 +12,36 @@ import org.apache.spark.sql.functions._
   * upsertBatch's MERGE works against tables from either path), null
   * handling, and the loud unsupported-type error.
   */
-class JdbcDriverLocalSpec extends SparkSpec {
+class JdbcDriverLocalSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val dbDirs = scala.collection.mutable.ArrayBuffer[java.io.File]()
 
   private def freshDb(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_jdbclocal")
     dir.toFile.delete() // derby wants to create the directory itself
+    dbDirs += dir.toFile
     Jdbc.derbyUrl(dir.toString)
+  }
+
+  override def afterAll(): Unit = {
+    // each test's Derby database is a real directory tree; reap them
+    // (per-DATABASE shutdown first so files are quiescent — not the
+    // engine-wide form, which would also close other suites' embedded
+    // databases in this shared test JVM) or every suite run leaves 4
+    // graft_jdbclocal* trees in the system temp dir — the same leak
+    // class EventStream's sink reaper exists for
+    dbDirs.foreach { d =>
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:${d.getPath};shutdown=true")
+      catch { case _: java.sql.SQLException => () } // success throws 08006
+    }
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    dbDirs.foreach(rm)
+    super.afterAll()
   }
 
   it("writeViaDriver/readViaDriver roundtrip values, types, and nulls") {
