@@ -71,4 +71,31 @@ class ScaleUtilsSpec extends SparkSpec {
         "bucketed layout was rewritten on reuse")
     }
   }
+
+  describe("dataTag (content-keyed persistence tag)") {
+    it("is stable across reads but changes when the data is rewritten") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_datatag")
+      val f = new java.io.File(dir.toFile, "part-0")
+      java.nio.file.Files.write(f.toPath, "v1".getBytes)
+      val t1 = ScaleUtils.dataTag(dir.toString)
+      assert(ScaleUtils.dataTag(dir.toString) == t1, "tag not stable")
+      // same length, later mtime — the staleness class pathTag misses:
+      // a blow-up probe rewriting the same /tmp corpus path in place
+      Thread.sleep(5)
+      java.nio.file.Files.write(f.toPath, "v2".getBytes)
+      f.setLastModified(f.lastModified() + 1000)
+      assert(ScaleUtils.dataTag(dir.toString) != t1,
+        "rewritten data kept the old tag — persisted models would go stale")
+      // different paths never collide on tag (path is part of the sig)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_datatag")
+      java.nio.file.Files.write(
+        new java.io.File(dir2.toFile, "part-0").toPath, "v1".getBytes)
+      assert(ScaleUtils.dataTag(dir2.toString) != t1)
+      def rm(x: java.io.File): Unit = if (x.exists()) {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete()
+      }
+      rm(dir.toFile); rm(dir2.toFile)
+    }
+  }
 }
