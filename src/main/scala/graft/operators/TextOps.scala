@@ -988,6 +988,59 @@ object TextOps {
               |WHERE ex.doc_id % 20 <> 0
               |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin)),
 
+    // Bloom-prefiltered decontamination: identical exact semantics to
+    // x17 + keep-threshold (<0.5), but benchmark membership crosses the
+    // cluster as a ~1.2 bytes/key Bloom sketch instead of shuffling
+    // EVERY training shingle into the join. Build a Bloom over the
+    // distinct benchmark hashes (distributed treeAggregate, driver
+    // result — same fitted-literal recipe as y5's centroids), prefilter
+    // the exploded training shingles with the native codegen'd
+    // bloom_might_contain, then exact-confirm the survivors against the
+    // real benchmark set. No false negatives → the confirm join sees
+    // true hits + fpp·misses only, and the output is EXACT (oracled).
+    // Per-doc denominators never touch the hash join: one map-side
+    // combined count whose exchange rows are doc-width. At 100 TB the
+    // x17 shape shuffles O(corpus shingles); this shape shuffles
+    // O(contaminated shingles) + a broadcast-sized sketch.
+    QueryDef(
+      "x30_bloom_decontam",
+      (s, d) => {
+        val ex = cachedHashedShingles(s, d)
+          .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+        val train = ex.filter(col("doc_id") % 20 =!= 0)
+        val bench = ex.filter(col("doc_id") % 20 === 0).select("h").distinct()
+        val bloom = bench.stat.bloomFilter(
+          "h", math.max(bench.count(), 64L), 0.001)
+        val denom = train.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"))
+        val hits = train
+          .filter(graft.functions.BloomMightContain.mightContain(col("h"), bloom))
+          .join(bench, Seq("h"), "inner")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        denom.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double")
+              / col("n_shingles"), 6).as("contamination"))
+          .filter(col("contamination") < 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleHashCtes,
+              |ex AS (SELECT doc_id, unnest(list_distinct(h)) AS hv FROM hs),
+              |bench AS (SELECT DISTINCT hv FROM ex WHERE doc_id % 20 = 0)
+              |SELECT ex.doc_id,
+              |       CAST(count(*) AS BIGINT) AS n_shingles,
+              |       CAST(sum(CASE WHEN bench.hv IS NOT NULL THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS n_hit,
+              |       round(CAST(sum(CASE WHEN bench.hv IS NOT NULL THEN 1 ELSE 0 END)
+              |                  AS DOUBLE) / count(*), 6) AS contamination
+              |FROM ex LEFT JOIN bench ON ex.hv = bench.hv
+              |WHERE ex.doc_id % 20 <> 0
+              |GROUP BY ex.doc_id
+              |HAVING round(CAST(sum(CASE WHEN bench.hv IS NOT NULL THEN 1 ELSE 0 END)
+              |                  AS DOUBLE) / count(*), 6) < 0.5
+              |ORDER BY ex.doc_id""".stripMargin)),
+
     // Quality-weighted importance sampling: band each doc by its
     // stopword-ratio quality signal (the x3 filter), then keep it iff a
     // seeded multiplicative hash of doc_id falls under the band's keep

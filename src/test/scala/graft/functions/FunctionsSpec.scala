@@ -292,4 +292,39 @@ class FunctionsSpec extends SparkSpec {
       assert(e2.getMessage.contains("interpolated"))
     }
   }
+
+  describe("BloomMightContain native expression") {
+    it("has zero false negatives and a bounded false-positive rate") {
+      import spark.implicits._
+      // 10k member keys, 100k disjoint probe keys (spread so the probe
+      // range never overlaps the member range)
+      val members = (0L until 10000L).map(_ * 2L + 1L)
+      val bloom = members.toDF("h").stat.bloomFilter("h", 10000L, 0.01)
+      val probes = (0L until 100000L).map(_ * 2L + 1000000000L)
+      val memberPass = members.toDF("h")
+        .filter(BloomMightContain.mightContain(col("h"), bloom)).count()
+      assert(memberPass == members.size.toLong,
+        "bloom_might_contain dropped a true member (false negative)")
+      val fp = probes.toDF("h")
+        .filter(BloomMightContain.mightContain(col("h"), bloom)).count()
+      // fpp 0.01 → expect ~1000 of 100k; allow generous slack (5x)
+      assert(fp < 5000L, s"false-positive rate too high: $fp / 100000")
+    }
+
+    it("agrees between codegen'd and interpreted evaluation") {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import spark.implicits._
+      val bloom = Seq(7L, 42L).toDF("h").stat.bloomFilter("h", 64L, 0.001)
+      val keys = Seq(7L, 42L, 8L, 43L, 0L, Long.MinValue, Long.MaxValue)
+      val viaDf = keys.toDF("h")
+        .select(BloomMightContain.mightContain(col("h"), bloom).as("m"))
+        .collect().map(_.getBoolean(0)).toSeq
+      val viaEval = keys.map { k =>
+        BloomMightContain(Literal(k), bloom).eval(null)
+          .asInstanceOf[Boolean]
+      }
+      assert(viaDf == viaEval)
+      assert(viaEval.take(2) == Seq(true, true))
+    }
+  }
 }

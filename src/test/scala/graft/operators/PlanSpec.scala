@@ -151,6 +151,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  it("x30_bloom_decontam prefilters with the native bloom BEFORE the confirm join") {
+    // the bloom probe must sit on the join's streamed side (a Filter on
+    // bloom_might_contain below the hash join), so only candidate
+    // shingles reach the exchange; denominators must partial-aggregate
+    val p = planOf("x30_bloom_decontam")
+    assert(p.contains("bloom_might_contain"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("partial_count"), p)
+    // the probe is a codegen'd scalar predicate, not a join in itself:
+    // exactly the x17 join count + the doc-width denominator join
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins >= 2, s"expected confirm + denominator joins, plan:\n$p")
+  }
+
   it("x18_bm25 broadcasts corpus stats and df, takes top-k without global sort") {
     // N/avgdl and per-term df are tiny aggregate frames — they must ride
     // in as broadcasts; the final top-10 must be TakeOrdered

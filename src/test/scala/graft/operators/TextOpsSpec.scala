@@ -407,4 +407,18 @@ class TextOpsSpec extends SparkSpec {
     assert(a.values.toSet == Set(0L),
       "cluster did not resolve to one component labeled by its minimum")
   }
+
+  it("x30_bloom_decontam equals x17 + keep-threshold exactly " +
+      "(bloom prefilter leaks no false positives into the output)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val viaExact = graft.SparkEntry.queries("x17_contamination")(spark, sf)
+      .filter(col("contamination") < 0.5)
+    val viaBloom = graft.SparkEntry.queries("x30_bloom_decontam")(spark, sf)
+    assert(viaBloom.columns.toSeq == viaExact.columns.toSeq)
+    assert(viaBloom.count() > 0, "decontamination kept nothing")
+    assert(viaBloom.except(viaExact).count() == 0 &&
+      viaExact.except(viaBloom).count() == 0,
+      "bloom-prefiltered decontamination diverged from the exact pass")
+  }
 }
