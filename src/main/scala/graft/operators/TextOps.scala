@@ -247,12 +247,22 @@ object TextOps {
   private val shingleCache = new graft.etl.DfCache
   private val spanHashCache = new graft.etl.DfCache
 
+  /** Fit-once-per-dataset Bloom sketches over the benchmark shingle set
+    * (x30) — keyed by the documents dataTag so the memo goes stale with
+    * the data, same recipe as y5's cached IVF centroids. A BloomFilter
+    * is plain data (no SparkSession binding), so no staleness check
+    * beyond the tag is needed. */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.util.sketch.BloomFilter]
+
   /** Test hook: wipe the shingle/simhash memos (ADVICE r4). */
   private[graft] def clearCachesForTest(): Unit = {
     shingleCache.clearForTest()
     spanHashCache.clearForTest()
     simhashBandCache.clearForTest()
     verifiedPairsCache.clearForTest()
+    bloomCache.clear()
   }
 
   /** Base for the Horner span-hash fold (shared with the DuckDB
@@ -1009,10 +1019,15 @@ object TextOps {
           .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
         val train = ex.filter(col("doc_id") % 20 =!= 0)
         val bench = ex.filter(col("doc_id") % 20 === 0).select("h").distinct()
-        val bloom = bench.stat.bloomFilter(
-          "h", math.max(bench.count(), 64L), 0.001)
-        val denom = train.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"))
+        val bloom = bloomCache.getOrElseUpdate(
+          graft.etl.ScaleUtils.dataTag(s"$d/documents.parquet") + "_bench3g",
+          bench.stat.bloomFilter("h", math.max(bench.count(), 64L), 0.001))
+        // denominators come straight off the un-exploded shingle arrays —
+        // a per-row expression, no second explode and no extra exchange
+        val denom = cachedHashedShingles(s, d)
+          .filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"),
+            size(array_distinct(col("hs"))).cast("long").as("n_shingles"))
         val hits = train
           .filter(graft.functions.BloomMightContain.mightContain(col("h"), bloom))
           .join(bench, Seq("h"), "inner")
