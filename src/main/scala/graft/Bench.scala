@@ -154,13 +154,13 @@ object Bench {
     // plans). The timed pass below then measures steady-state latency
     // for every query, which is the number that scales.
     SparkEntry.queries.foreach { case (n, f) =>
-      warm(n)(f(spark, sfDir).count())
+      warm(n)(Force(f(spark, sfDir)))
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { Force(fn(spark, sfDir)) } catch {
           case t: Throwable =>
             failed += name
             System.err.println(s"bench $name FAILED: $t")

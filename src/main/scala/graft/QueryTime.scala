@@ -98,7 +98,7 @@ object QueryTime {
               l.enabled = pass == 2; l.rows.clear()
             }
             val t0 = System.nanoTime()
-            val n = fn(spark, sfDir).count()
+            val n = Force(fn(spark, sfDir))
             ((System.nanoTime() - t0) / 1e9, n)
           }
           println(f"[qtime] $name%-22s cold=${times(0)._1}%6.2fs " +

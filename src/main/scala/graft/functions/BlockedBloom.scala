@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Cache-blocked Bloom filter (Putze, Sanders, Singler, "Cache-, Hash-
+  * and Space-Efficient Bloom Filters", WEA 2007 — the design Impala and
+  * Kudu ship for runtime filters): the bit array is an array of 512-bit
+  * (one cache line) blocks and ALL k probes of a key land in the SAME
+  * block, so a membership test costs ONE DRAM line fetch instead of k
+  * scattered ones.
+  *
+  * Why it exists here: the standard (flat) Bloom probe is
+  * memory-LATENCY-bound once the sketch outgrows cache — measured on
+  * the x1000 blow-up corpus, probing a 10 M-key flat sketch (18 MB,
+  * k=10 dependent random reads) from 247 M rows dominated
+  * x30_bloom_decontam's runtime. Blocked probing trades a little space
+  * (16 bits/key vs 14.4 for the same ~1e-3 fpp — the block-load
+  * variance penalty) for ~k× fewer cache misses.
+  *
+  * Layout: 8 longs per block. Per key, a splitmix64 finalizer expands
+  * the (already mod-p uniform) shingle hash; the high 32 bits pick the
+  * block (Lemire multiply-shift range reduction — no modulo), the low
+  * bits seed k=8 double-hashed bit positions inside the 512-bit block
+  * (Kirsch-Mitzenmacher: bit_i = h1 + i·h2 with odd h2).
+  *
+  * False negatives are impossible by construction (put and probe share
+  * the single hash path); fpp ≈ 1e-3 at 16 bits/key. Plain
+  * `Serializable` data — rides codegen reference arrays and task
+  * closures; merge is a bitwise OR, so distributed fits are
+  * order-independent and retry/speculation-safe.
+  */
+final class BlockedBloom private[functions] (val numBlocks: Int)
+    extends Serializable {
+
+  private[functions] val words = new Array[Long](numBlocks << 3)
+
+  def put(h: Long): Unit = {
+    val m = BlockedBloom.mix(h)
+    val base = ((((m >>> 32) & 0xffffffffL) * numBlocks) >>> 32).toInt << 3
+    val h1 = (m & 511L).toInt
+    val h2 = (((m >>> 9) & 511L) | 1L).toInt
+    var i = 0
+    while (i < BlockedBloom.K) {
+      val idx = (h1 + i * h2) & 511
+      words(base + (idx >>> 6)) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(h: Long): Boolean = {
+    val m = BlockedBloom.mix(h)
+    val base = ((((m >>> 32) & 0xffffffffL) * numBlocks) >>> 32).toInt << 3
+    val h1 = (m & 511L).toInt
+    val h2 = (((m >>> 9) & 511L) | 1L).toInt
+    var i = 0
+    while (i < BlockedBloom.K) {
+      val idx = (h1 + i * h2) & 511
+      if ((words(base + (idx >>> 6)) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Bitwise-OR merge; both sides must come from the same [[BlockedBloom.sized]]
+    * call shape. Returns `this` (treeAggregate combOp convention). */
+  def merge(o: BlockedBloom): BlockedBloom = {
+    require(o.numBlocks == numBlocks,
+      s"cannot merge BlockedBloom($numBlocks) with BlockedBloom(${o.numBlocks})")
+    var i = 0
+    while (i < words.length) { words(i) |= o.words(i); i += 1 }
+    this
+  }
+}
+
+object BlockedBloom {
+  /** Probes per key. With [[BitsPerKey]]=16 and 512-bit blocks the
+    * expected block fill is ~0.39, so fpp ≈ 0.39^8 ≈ 5e-4 plus the
+    * Poisson block-load variance ≈ ~1e-3 overall. */
+  final val K = 8
+  private final val BitsPerKey = 16L
+
+  /** splitmix64 finalizer (Steele/Lea/Flood 2014, public domain) —
+    * expands the 30-bit mod-p shingle hashes to 64 well-mixed bits. */
+  def mix(h0: Long): Long = {
+    var z = h0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def sized(expectedKeys: Long): BlockedBloom = {
+    val blocks = math.max(1L, (expectedKeys * BitsPerKey + 511L) >> 9)
+    // words array is blocks*8 longs; stay far below Int.MaxValue elements
+    new BlockedBloom(math.min(blocks, (Int.MaxValue >> 4).toLong).toInt)
+  }
+
+  /** Distributed fit: one treeAggregate over the key column (BIGINT).
+    * The OR-merge makes the result independent of partitioning, task
+    * retries, and speculative duplicates. */
+  def fit(df: DataFrame, column: String, expectedKeys: Long): BlockedBloom =
+    df.select(col(column).cast("long")).rdd
+      .treeAggregate(sized(expectedKeys))(
+        (b, r) => { if (!r.isNullAt(0)) b.put(r.getLong(0)); b },
+        (a, b) => a.merge(b),
+        depth = 2)
+}

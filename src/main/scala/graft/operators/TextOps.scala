@@ -249,12 +249,12 @@ object TextOps {
 
   /** Fit-once-per-dataset Bloom sketches over the benchmark shingle set
     * (x30) — keyed by the documents dataTag so the memo goes stale with
-    * the data, same recipe as y5's cached IVF centroids. A BloomFilter
+    * the data, same recipe as y5's cached IVF centroids. A BlockedBloom
     * is plain data (no SparkSession binding), so no staleness check
     * beyond the tag is needed. */
   private val bloomCache =
     scala.collection.concurrent.TrieMap
-      .empty[String, org.apache.spark.util.sketch.BloomFilter]
+      .empty[String, graft.functions.BlockedBloom]
 
   /** Test hook: wipe the shingle/simhash memos (ADVICE r4). */
   private[graft] def clearCachesForTest(): Unit = {
@@ -1021,7 +1021,8 @@ object TextOps {
         val bench = ex.filter(col("doc_id") % 20 === 0).select("h").distinct()
         val bloom = bloomCache.getOrElseUpdate(
           graft.etl.ScaleUtils.dataTag(s"$d/documents.parquet") + "_bench3g",
-          bench.stat.bloomFilter("h", math.max(bench.count(), 64L), 0.001))
+          graft.functions.BlockedBloom.fit(
+            bench, "h", math.max(bench.count(), 64L)))
         // denominators come straight off the un-exploded shingle arrays —
         // a per-row expression, no second explode and no extra exchange
         val denom = cachedHashedShingles(s, d)

@@ -293,13 +293,13 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  describe("BloomMightContain native expression") {
+  describe("BloomMightContain native expression (BlockedBloom)") {
     it("has zero false negatives and a bounded false-positive rate") {
       import spark.implicits._
       // 10k member keys, 100k disjoint probe keys (spread so the probe
       // range never overlaps the member range)
       val members = (0L until 10000L).map(_ * 2L + 1L)
-      val bloom = members.toDF("h").stat.bloomFilter("h", 10000L, 0.01)
+      val bloom = BlockedBloom.fit(members.toDF("h"), "h", 10000L)
       val probes = (0L until 100000L).map(_ * 2L + 1000000000L)
       val memberPass = members.toDF("h")
         .filter(BloomMightContain.mightContain(col("h"), bloom)).count()
@@ -307,14 +307,15 @@ class FunctionsSpec extends SparkSpec {
         "bloom_might_contain dropped a true member (false negative)")
       val fp = probes.toDF("h")
         .filter(BloomMightContain.mightContain(col("h"), bloom)).count()
-      // fpp 0.01 → expect ~1000 of 100k; allow generous slack (5x)
-      assert(fp < 5000L, s"false-positive rate too high: $fp / 100000")
+      // design fpp ~1e-3 at 16 bits/key → expect ~100 of 100k; allow
+      // an order of magnitude of slack before calling the layout broken
+      assert(fp < 1000L, s"false-positive rate too high: $fp / 100000")
     }
 
     it("agrees between codegen'd and interpreted evaluation") {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import spark.implicits._
-      val bloom = Seq(7L, 42L).toDF("h").stat.bloomFilter("h", 64L, 0.001)
+      val bloom = BlockedBloom.fit(Seq(7L, 42L).toDF("h"), "h", 64L)
       val keys = Seq(7L, 42L, 8L, 43L, 0L, Long.MinValue, Long.MaxValue)
       val viaDf = keys.toDF("h")
         .select(BloomMightContain.mightContain(col("h"), bloom).as("m"))
@@ -325,6 +326,15 @@ class FunctionsSpec extends SparkSpec {
       }
       assert(viaDf == viaEval)
       assert(viaEval.take(2) == Seq(true, true))
+    }
+
+    it("fits order-independently (OR-merge: retry/speculation-safe)") {
+      import spark.implicits._
+      val keys = (0L until 5000L).map(_ * 7L)
+      val a = BlockedBloom.fit(keys.toDF("h").repartition(7), "h", 5000L)
+      val b = BlockedBloom.fit(keys.reverse.toDF("h").repartition(3), "h", 5000L)
+      assert(java.util.Arrays.equals(a.words, b.words),
+        "sketch bits depend on partitioning/order")
     }
   }
 }
