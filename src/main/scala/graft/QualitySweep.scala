@@ -53,19 +53,10 @@ object QualitySweep {
 
     val archs: Seq[(String, (Int, Int, Double) => graft.nn.ArchZoo.Arch)] =
       mode match {
-        case "archs" | "ref" | "reftest" => Seq(
-          // all 8 reference families (CNC_AE_model_selection.py and its 7
-          // sibling scripts) through the same search→retrain→recon→NB path
-          ("CNC_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.cnc(a, b)),
-          ("X_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.xae(a, b)),
-          ("MM_AE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.mm(a, b)),
-          ("JISAE", (a: Int, b: Int, _: Double) => graft.nn.ArchZoo.jisae(a, b)),
-          ("JISAE-O1", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO1(a, b, m)),
-          ("JISAE-O2", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO2(a, b, m)),
-          ("JISAE-O3", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO3(a, b, m)),
-          ("MOCSS", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.mocss(a, b, m)))
-        case _ => Seq(
-          ("JISAE-O1", (a: Int, b: Int, m: Double) => graft.nn.ArchZoo.jisaeO1(a, b, m)))
+        // all 8 reference families (CNC_AE_model_selection.py and its 7
+        // sibling scripts) through the same search→retrain→recon→NB path
+        case "archs" | "ref" | "reftest" => pipeline.ArchFamilies.byName
+        case _ => pipeline.ArchFamilies.byName.filter(_._1 == "JISAE-O1")
       }
     val files = mode match {
       case "reftest" => Seq(s"$dataDir/miRNA_seq_5_groups_1_diff.csv")

@@ -53,6 +53,51 @@ object RandomSearch {
       orthoMultiplier = logUniform(1e-3, 1e3))
   }
 
+  /** The hyper sequence a `search(seed=…)` run draws — trial t's hypers
+    * depend only on the seed and t (5 rng draws per trial, pruning never
+    * touches the rng), so workers can re-derive any trial's hypers
+    * without running the preceding trials. */
+  def hyperSequence(nTrials: Int, seed: Long = 42): Seq[Hypers] = {
+    val rng = new scala.util.Random(seed)
+    Vector.fill(nTrials)(sample(rng))
+  }
+
+  /** One trial's fold loop + MedianPruner bookkeeping, shared verbatim
+    * by the live `search` (lossAt trains a fold) and `replay` (lossAt
+    * reads a precomputed loss) so the two can never drift. */
+  private def runTrial(t: Int, h: Hypers, cv: Int, warmupSteps: Int,
+      history: Array[scala.collection.mutable.ArrayBuffer[Double]],
+      lossAt: Int => Double): TrialResult = {
+    val foldLosses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pruned = false
+    var f = 0
+    while (f < cv && !pruned) {
+      foldLosses += lossAt(f)
+      // MedianPruner: prune when the running mean at this step is
+      // worse than the median of prior trials at the same step
+      val step = foldLosses.length - 1
+      if (step >= warmupSteps && history(step).nonEmpty) {
+        val sorted = history(step).sorted
+        val median = sorted(sorted.length / 2)
+        if (foldLosses.sum / foldLosses.length > median) pruned = true
+      }
+      f += 1
+    }
+    foldLosses.zipWithIndex.foreach { case (l, i) =>
+      if (!pruned || i < foldLosses.length - 1)
+        history(i) += foldLosses.take(i + 1).sum / (i + 1)
+    }
+    TrialResult(t, h, foldLosses.toSeq,
+      foldLosses.sum / foldLosses.length, pruned)
+  }
+
+  private def finish(results: Seq[TrialResult]): SearchResult = {
+    val completed = results.filter(!_.pruned)
+    val best = (if (completed.nonEmpty) completed else results)
+      .minBy(_.avgLoss)
+    SearchResult(results, best)
+  }
+
   /** Runs nTrials; each trial: k-fold CV (KFold shuffle, seed 21 —
     * CNC_AE_model_selection.py:346-348), training on k−1 folds,
     * recon val loss on the held-out fold; median-pruned after
@@ -61,7 +106,7 @@ object RandomSearch {
   def search(df: DataFrame, mkModel: Hypers => AeModel, nTrials: Int,
       cv: Int = 5, seed: Long = 42, warmupSteps: Int = 2,
       epochScale: Double = 1.0, keyCol: String = "sample_id"): SearchResult = {
-    val rng = new scala.util.Random(seed)
+    val hypers = hyperSequence(nTrials, seed)
     val folded = Splits.kFoldColumn(df, keyCol, cv, 21).cache()
     folded.count()
 
@@ -71,42 +116,37 @@ object RandomSearch {
     val results = scala.collection.mutable.ArrayBuffer.empty[TrialResult]
 
     for (t <- 0 until nTrials) {
-      val h = sample(rng)
+      val h = hypers(t)
       val epochs = math.max(1, math.round(h.epochs * epochScale).toInt)
       val model = mkModel(h)
-      val foldLosses = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var pruned = false
-      var f = 0
-      while (f < cv && !pruned) {
+      results += runTrial(t, h, cv, warmupSteps, history, { f =>
         val trainDf = folded.filter(col("fold") =!= f)
         val valDf = folded.filter(col("fold") === f)
         val trained = Trainer.train(trainDf, model,
           Trainer.Config(lr = h.lr, weightDecay = h.l2,
             batchSize = h.batchSize, epochs = epochs, seed = 21))
-        val valLoss = Trainer.evaluateLoss(valDf, model,
-          trained.params, trained.stats)
-        foldLosses += valLoss
-        // MedianPruner: prune when the running mean at this step is
-        // worse than the median of prior trials at the same step
-        val step = foldLosses.length - 1
-        if (step >= warmupSteps && history(step).nonEmpty) {
-          val sorted = history(step).sorted
-          val median = sorted(sorted.length / 2)
-          if (foldLosses.sum / foldLosses.length > median) pruned = true
-        }
-        f += 1
-      }
-      foldLosses.zipWithIndex.foreach { case (l, i) =>
-        if (!pruned || i < foldLosses.length - 1)
-          history(i) += foldLosses.take(i + 1).sum / (i + 1)
-      }
-      val avg = foldLosses.sum / foldLosses.length
-      results += TrialResult(t, h, foldLosses.toSeq, avg, pruned)
+        Trainer.evaluateLoss(valDf, model, trained.params, trained.stats)
+      })
     }
     folded.unpersist()
-    val completed = results.filter(!_.pruned)
-    val best = (if (completed.nonEmpty) completed else results)
-      .minBy(_.avgLoss)
-    SearchResult(results.toSeq, best)
+    finish(results.toSeq)
+  }
+
+  /** Replays the sequential search bookkeeping over precomputed
+    * per-trial fold losses. Each trial's fold training is a pure
+    * function of (dataset, model, hypers, seed) — no trial reads
+    * another trial's state — so fold losses can be computed on parallel
+    * workers and the only sequential parts (pruning history, best
+    * selection) replayed here, bit-identically to a live `search` of
+    * the same prefix (`BreadthReplaySpec`). */
+  def replay(hypers: Seq[Hypers], foldLosses: Seq[Seq[Double]],
+      cv: Int, warmupSteps: Int = 2): SearchResult = {
+    require(hypers.length == foldLosses.length,
+      s"${hypers.length} hypers vs ${foldLosses.length} loss rows")
+    val history = Array.fill(cv)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    finish(hypers.indices.map { t =>
+      runTrial(t, hypers(t), cv, warmupSteps, history, foldLosses(t))
+    })
   }
 }
