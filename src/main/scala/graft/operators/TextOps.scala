@@ -347,25 +347,33 @@ object TextOps {
               x => x.cast("string"))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    // bucket size + in-bucket rank ride the SAME (band, band_hash) hash
-    // partitioning the candidate join needs — no extra shuffle
+    // bucket size + hub ride the SAME (band, band_hash) hash
+    // partitioning the candidate join needs — no extra shuffle, and
+    // (unlike the r9 rank chain) no in-bucket sort: both window
+    // functions run over the unordered partition
     val w = Window.partitionBy("band", "band_hash")
-    val ranked = banded
-      .withColumn("rnk", row_number().over(w.orderBy("doc_id")))
+    val sized = banded
       .withColumn("bsz", count(lit(1)).over(w))
-    val small = ranked.filter(col("bsz") <= maxBucket)
+      .withColumn("hub", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucket)
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // oversized (boilerplate) buckets: consecutive-rank chain, O(m)
-    val big = ranked.filter(col("bsz") > maxBucket)
-    val bigPairs = big.as("a").join(big.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.rnk") + 1 === col("b.rnk"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // oversized (boilerplate) buckets: STAR edges onto the bucket's
+    // minimum-doc_id member — same O(m) pair volume as the r9
+    // consecutive-rank chain, but component diameter 2 instead of m,
+    // so x16's pointer-jumping loop converges in ~2 rounds at any copy
+    // factor instead of O(log m) (the chain made the dominant cluster
+    // one long PATH — the suite's only SUPER growth flag, VERDICT r9).
+    // Components only need connectivity; pair consumers (x6/x8) see
+    // the same volume under the same "over-cap ⇒ boilerplate, members
+    // near-identical" approximation. Chains remain right for y4 where
+    // top-k wants LOCAL rank neighbors (SimilarityOps.lshAnn).
+    val bigPairs = sized.filter(col("bsz") > maxBucket)
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
     smallPairs.union(bigPairs).distinct()
   }
 
@@ -378,15 +386,19 @@ object TextOps {
     * bucket no matter how many bits — the all-pairs self-join then fans
     * out O(m²) (measured: 0.47 s → 8.5 s across the x10→x100 blow-up
     * decade, BENCH_SCALES.md §beyond-sf0.1). Buckets over the cap emit
-    * a consecutive-rank chain (O(m) pairs): members of such a bucket
-    * are near-parallel, so every chain link clears the cosine gate and
-    * component labels are unchanged; only a bucket both oversized AND
-    * cosine-diverse could split vs all-pairs, which scaled bits make a
-    * measure-zero corner (spec-asserted: on a dominant-cluster fixture
-    * the hazard population's labels match all-pairs exactly).
-    * Rank+size ride the same bucket hash partitioning the
-    * join needs — no new exchange. The x26 oracle replays the identical
-    * rule in SQL. */
+    * a STAR onto the bucket's minimum-vec_id member (O(m) pairs,
+    * diameter 2 — so the x16/x26 component loop converges in ~2 pointer
+    * -jumping rounds at any copy factor, retiring the r9 chain's
+    * O(log m) rounds): members of such a bucket are near-parallel, so
+    * every hub spoke clears the cosine gate and component labels are
+    * unchanged; only a bucket both oversized AND cosine-diverse could
+    * split vs all-pairs, which scaled bits make a measure-zero corner
+    * (spec-asserted: on a dominant-cluster fixture the hazard
+    * population's labels match all-pairs exactly). Hub+size ride the
+    * same bucket hash partitioning the join needs — no new exchange,
+    * and no in-bucket sort (min/min_by over the unordered partition,
+    * where the r9 lead() chain sorted every over-cap bucket). The x26
+    * oracle replays the identical rule in SQL. */
   def semanticPairs(e: DataFrame, cosMin: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val w = Window.partitionBy("bucket")
@@ -399,19 +411,16 @@ object TextOps {
         .select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
           col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-    // over-cap arm via a window LEAD instead of a rank self-join: the
-    // r8 join was keyed on bucket alone with the rank-adjacency as a
-    // post-filter, so an over-cap bucket of m members streamed m²
-    // intermediate pairs through the filter; lead() hands each member
-    // its successor's (id, vector) inside the existing bucket sort —
-    // zero extra exchange, O(m) rows, identical pair set (the x26
-    // oracle replays a.rnk + 1 = b.rnk over the same vec_id order).
-    val bw = w.orderBy("vec_id")
+    // over-cap arm as a hub STAR via unordered window min/min_by: each
+    // member pairs with the bucket's minimum-vec_id member (and its
+    // vector) — zero extra exchange, zero in-bucket sort, O(m) rows,
+    // diameter 2 (the x26 oracle replays rnk = 1 vs rnk > 1 over the
+    // same vec_id order).
     val big = sized.filter(col("bsz") > maxBucket)
-      .select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
-        lead(col("vec_id"), 1).over(bw).as("id_b"),
-        lead(col("embedding"), 1).over(bw).as("e_b"))
-      .filter(col("id_b").isNotNull)
+      .select(min(col("vec_id")).over(w).as("id_a"),
+        min_by(col("embedding"), col("vec_id")).over(w).as("e_a"),
+        col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      .filter(col("id_a") =!= col("id_b"))
     small.select("id_a", "e_a", "id_b", "e_b")
       .unionByName(big)
       .filter(round(SimilarityOps.fastCosine(col("e_a"), col("e_b")), 4)
@@ -477,6 +486,13 @@ object TextOps {
     *
     * Returns `(doc_id, component)` for every endpoint, component = min
     * doc_id of its component — deterministic under any partitioning. */
+  /** Rounds the last [[connectedComponents]] distributed loop took
+    * (−1 when the driver fast path answered). Probe/spec
+    * instrumentation only — the star-edge topology guarantee
+    * ("over-cap buckets converge in ~2 rounds") is asserted against
+    * this (`StarTopologySpec`). */
+  @volatile var lastCcRounds: Int = -1
+
   def connectedComponents(edges: DataFrame,
       driverMaxEdges: Long = 2000000L): DataFrame = {
     // localCheckpoint truncates lineage every round. Without it the
@@ -527,6 +543,7 @@ object TextOps {
       // label every member by the component MINIMUM (union order above
       // already parents larger roots under smaller, so find() is min)
       val labeled = parent.keysIterator.map(v => (v, find(v))).toSeq
+      lastCcRounds = -1
       return labeled.toDF("doc_id", "component")
     }
     val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -564,6 +581,7 @@ object TextOps {
       converged = moved == 0
       rounds += 1
     }
+    lastCcRounds = rounds
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
   }
 
@@ -1492,7 +1510,8 @@ object TextOps {
               |         UNION ALL
               |         SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
               |         FROM rb a JOIN rb b
-              |           ON a.bucket = b.bucket AND a.rnk + 1 = b.rnk
+              |           ON a.bucket = b.bucket
+              |              AND a.rnk = 1 AND b.rnk > 1
               |         WHERE a.bsz > 256 AND b.bsz > 256),
               |pairs AS (SELECT u, v FROM cand
               |          WHERE round(${SimilarityOps.cosineSql("e_a", "e_b")}, 4)

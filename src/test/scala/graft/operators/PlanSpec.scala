@@ -355,12 +355,15 @@ class PlanSpec extends SparkSpec {
     // cartesian here is the O(m²) shape the cap removes
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the chain branch is a window LEAD, not a join: the r8 rank
-    // self-join was keyed on bucket alone with rank-adjacency as a
-    // post-filter, which streamed m² intermediate pairs per over-cap
-    // bucket; lead() emits O(m) successor pairs inside the existing
-    // bucket sort. No rank column (row_number) should survive.
-    assert(p.contains("lead("), p)
+    // the over-cap branch is an unordered-window hub STAR, not a join
+    // and not a sorted chain: the r8 rank self-join streamed m²
+    // intermediate pairs per over-cap bucket, and the r9 lead() chain
+    // sorted every over-cap bucket and left the component loop
+    // O(log m) rounds. min/min_by over the unordered bucket partition
+    // emit O(m) hub spokes with no sort; no rank column (row_number)
+    // and no lead() should survive.
+    assert(p.contains("min_by("), p)
+    assert(!p.contains("lead("), p)
     assert(!p.contains("row_number()"), p)
   }
 }
