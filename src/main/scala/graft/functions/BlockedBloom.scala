@@ -92,7 +92,21 @@ object BlockedBloom {
   def sized(expectedKeys: Long): BlockedBloom = {
     val blocks = math.max(1L, (expectedKeys * BitsPerKey + 511L) >> 9)
     // words array is blocks*8 longs; stay far below Int.MaxValue elements
-    new BlockedBloom(math.min(blocks, (Int.MaxValue >> 4).toLong).toInt)
+    val cap = (Int.MaxValue >> 4).toLong
+    if (blocks > cap)
+      // loud, not silent (ADVICE r9): past ~4.3 B expected keys the
+      // clamp degrades fpp with no other symptom, and near it the
+      // ~8.6 GB words array can OOM the driver-side fit with a generic
+      // error. The filter still WORKS (Bloom filters are safe-degrade:
+      // false-positive rate rises, never false negatives — and x30's
+      // confirm join removes false positives anyway), so warn + size
+      // guidance beats a hard require.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BlockedBloom.sized($expectedKeys) exceeds the $cap-block cap " +
+          s"(~8.6 GB) by ${blocks / cap}x — clamping; expected fpp " +
+          "degrades accordingly. Shard the key space across multiple " +
+          "filters or raise the confirm-join share instead.")
+    new BlockedBloom(math.min(blocks, cap).toInt)
   }
 
   /** Distributed fit: one treeAggregate over the key column (BIGINT).

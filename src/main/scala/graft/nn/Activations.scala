@@ -30,7 +30,13 @@ object Activations {
     * kernel (and torch relu) return +0.0. NOT a bare `when(x > 0)`
     * either — Spark SQL's comparison orders NaN above every double, so
     * `NaN > 0.0` is TRUE in Catalyst where Java's primitive compare is
-    * false; the isnan guard keeps relu(NaN) = 0.0 on both paths. */
+    * false; the isnan guard keeps relu(NaN) = 0.0 on both paths. The
+    * leading isNull arm makes SQL NULL propagate (ADVICE r9: without
+    * it, `isnan(NULL)` is false and NULL fell through to the
+    * otherwise(0.0), diverging from sigmoid/tanh which both propagate
+    * NULL — the kernel never sees NULLs, so only the Column surface
+    * needed the guard). */
   def relu(x: Column): Column =
-    when(!isnan(x) && x > lit(0.0), x).otherwise(lit(0.0))
+    when(x.isNull, lit(null).cast("double"))
+      .when(!isnan(x) && x > lit(0.0), x).otherwise(lit(0.0))
 }

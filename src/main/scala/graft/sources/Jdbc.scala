@@ -172,8 +172,26 @@ object Jdbc {
           }
           StructField(md.getColumnName(i), dt)
         }
+        // defensive ceiling (ADVICE r9): this path buffers the whole
+        // table on the DRIVER (that is its point — embedded Derby/H2
+        // URLs deadlock under separate executor JVMs, JdbcDriverLocalSpec),
+        // so an unexpectedly large embedded table must fail loudly and
+        // attributably, not as a generic driver OOM. Server URLs never
+        // come here — they keep executor-parallel partitioned reads.
+        val maxRows = spark.conf
+          .get("graft.jdbc.driverLocalMaxRows", "5000000").toLong
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"reading $table via the DRIVER-LOCAL embedded-URL path " +
+            s"(buffered on the driver heap, ceiling $maxRows rows)")
         val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
         while (rs.next()) {
+          if (rows.length >= maxRows)
+            throw new IllegalStateException(
+              s"embedded-URL driver-local read of $table exceeded " +
+                s"$maxRows rows — an embedded database this size would " +
+                "exhaust the driver heap. Move the table to a server " +
+                "URL (executor-parallel partitioned read) or raise " +
+                "graft.jdbc.driverLocalMaxRows explicitly.")
           rows += Row.fromSeq((1 to n).map { i =>
             val v = fields(i - 1).dataType match {
               case LongType => rs.getLong(i)

@@ -44,6 +44,20 @@ class ActivationsSpec extends SparkSpec {
     }
   }
 
+  it("all three activations propagate SQL NULL (ADVICE r9)") {
+    import spark.implicits._
+    // relu's isnan guard made NULL fall through to otherwise(0.0)
+    // while sigmoid/tanh propagated it — one Column API surface, one
+    // null semantics: NULL in, NULL out on all three
+    val out = Seq[Option[Double]](None).toDF("x")
+      .select(Activations.sigmoid(col("x")).as("sig"),
+        Activations.tanh(col("x")).as("th"),
+        Activations.relu(col("x")).as("re"))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2),
+      s"expected NULL,NULL,NULL got $out")
+  }
+
   it("relu maps -0.0 and +0.0 both to +0.0 like the kernel") {
     import spark.implicits._
     val out = Seq(-0.0, 0.0).toDF("x")

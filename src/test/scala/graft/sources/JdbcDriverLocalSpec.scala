@@ -64,6 +64,26 @@ class JdbcDriverLocalSpec extends SparkSpec
       Seq(3L, "gamma", 0.0, true)))
   }
 
+  it("enforces the driver-heap row ceiling loudly (ADVICE r9)") {
+    import spark.implicits._
+    val url = freshDb()
+    Jdbc.writeViaDriver((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      url, "t_ceiling", 1000)
+    spark.conf.set("graft.jdbc.driverLocalMaxRows", "5")
+    try {
+      val e = intercept[IllegalStateException] {
+        Jdbc.readViaDriver(spark, url, "t_ceiling")
+      }
+      assert(e.getMessage.contains("driverLocalMaxRows"),
+        s"ceiling error must name the escape hatch: ${e.getMessage}")
+      assert(e.getMessage.contains("t_ceiling"),
+        s"ceiling error must name the table: ${e.getMessage}")
+      // at-or-under the ceiling still reads fine
+      spark.conf.set("graft.jdbc.driverLocalMaxRows", "10")
+      assert(Jdbc.readViaDriver(spark, url, "t_ceiling").count() === 10)
+    } finally spark.conf.unset("graft.jdbc.driverLocalMaxRows")
+  }
+
   it("overwrite drops and recreates; batch boundary is exact") {
     import spark.implicits._
     val url = freshDb()
