@@ -124,9 +124,27 @@ object OmicsReader {
       else if (idIdx == n - 1) slice(parts, 1, n - 1)
       else concat(slice(parts, 1, idIdx),
         slice(parts, idIdx + 2, n - 1 - idIdx))
+    // ANSI hazard (found by the s2 oracle): a downstream Generate over
+    // `features` makes InferFiltersFromGenerate copy a
+    // size(features) > 0 predicate into the SAME Filter as the
+    // header-drop conjunct, and codegen subexpression elimination then
+    // evaluates the shared transform() — strict cast included — BEFORE
+    // the header-equality check short-circuits, so the cast throws on
+    // the very header row the filter exists to drop. Guarding the
+    // lambda on the header line keeps ANSI strictness for data rows
+    // (malformed numerics still fail loudly) while making the header
+    // row yield nulls instead of throwing wherever the optimizer
+    // chooses to evaluate it; the header-drop filter still removes it
+    // from the output.
+    val featCast =
+      if (header)
+        transform(featSlice, s =>
+          when(col("value") === lit(firstLine),
+            lit(null).cast("double")).otherwise(s.cast("double")))
+      else transform(featSlice, s => s.cast("double"))
     val data = data0.select(
       element_at(parts, idIdx + 1).as("sample_id"),
-      transform(featSlice, s => s.cast("double")).as("features"))
+      featCast.as("features"))
     val featNames = names.zipWithIndex.filter(_._2 != idIdx).map(_._1)
     val nameDim = spark.createDataFrame(
       featNames.toSeq.zipWithIndex.map { case (nm, i) => (i, nm) }

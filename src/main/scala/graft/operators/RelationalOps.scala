@@ -99,6 +99,71 @@ object RelationalOps {
       (s, d) => T.region(s, d).orderBy("r_regionkey"),
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // S2: samples-as-rows TSV scan — the reference's untransposed load
+    // path (AE_results.ipynb cell 67: pd.read_csv(sep='\t') without
+    // .T). The query exercises the REAL machinery end to end: render a
+    // header TSV (pandas to_csv(sep='\t') shape) from `supplier`,
+    // ingest it through the O(1)-plan-width text+split reader
+    // (OmicsReader.readSamplesAsRows — the path proven at 20 532
+    // columns), and unpivot to long form. Oracle: plain SQL over the
+    // same parquet rows — the j8 recipe: the roundtrip must be
+    // value-faithful (Double.toString → cast round-trips exactly), so
+    // parquet-sourced SQL is the same relation.
+    QueryDef(
+      "s2_samples_scan",
+      (s, d) => {
+        import graft.etl.{OmicsReader, ScaleUtils}
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_s2_" +
+          ScaleUtils.pathTag(d)
+        graft.pipeline.ResultTables.writeTsv(
+          T.supplier(s, d).select(col("s_name").as("sample_id"),
+            col("s_acctbal"),
+            col("s_nationkey").cast("double").as("s_nationkey"),
+            col("s_suppkey").cast("double").as("s_suppkey")), dir)
+        val m = OmicsReader.readSamplesAsRows(s, dir, idCol = "sample_id")
+        m.data.select(col("sample_id"), posexplode(col("features")))
+          .join(broadcast(m.featureNames),
+            col("pos") === col("feature_idx"))
+          .select(col("sample_id"), col("feature_name"),
+            col("col").as("value"))
+          .orderBy("sample_id", "feature_name")
+      },
+      Some("""SELECT s_name AS sample_id, 's_acctbal' AS feature_name,
+                     s_acctbal AS value FROM supplier
+              UNION ALL
+              SELECT s_name, 's_nationkey', CAST(s_nationkey AS DOUBLE)
+              FROM supplier
+              UNION ALL
+              SELECT s_name, 's_suppkey', CAST(s_suppkey AS DOUBLE)
+              FROM supplier
+              ORDER BY sample_id, feature_name""")),
+
+    // S4: headerless CSV scan by positional column convention
+    // (Simulation_Auxiliary/mocss.py:370-373 reads matrices with
+    // header=None; columns are addressed by position). Same
+    // render-then-ingest recipe as s2, through the header=false arm.
+    QueryDef(
+      "s4_headerless_scan",
+      (s, d) => {
+        import graft.etl.{OmicsReader, ScaleUtils}
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_s4_" +
+          ScaleUtils.pathTag(d)
+        T.nation(s, d).select(col("n_name"),
+            col("n_nationkey").cast("double"),
+            col("n_regionkey").cast("double"))
+          .coalesce(1).write.mode("overwrite")
+          .option("sep", "\t").csv(dir)
+        val m = OmicsReader.readSamplesAsRows(s, dir, header = false)
+        m.data.select(col("sample_id"),
+            element_at(col("features"), 1).as("f0"),
+            element_at(col("features"), 2).as("f1"))
+          .orderBy("sample_id")
+      },
+      Some("""SELECT n_name AS sample_id,
+                     CAST(n_nationkey AS DOUBLE) AS f0,
+                     CAST(n_regionkey AS DOUBLE) AS f1
+              FROM nation ORDER BY sample_id""")),
+
     // ---- §2.2 projections / filters -------------------------------------
     // P1: row selection by key-set → left-semi join (Data_prep.py:65-68).
     QueryDef(
@@ -176,6 +241,46 @@ object RelationalOps {
               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                       WHERE o_orderpriority = '1-URGENT')
               ORDER BY c_custkey""")),
+
+    // J3: positional feature concat — two views aligned BY ROW
+    // POSITION, not by key (AE_results.ipynb cell 81 concatenates
+    // embedding matrices positionally; ArchZoo/Inference do the same
+    // for x1||x2). Each half gets an independent distributed row index
+    // (OmicsReader.withRowIdx: RDD zipWithIndex over the sorted frame —
+    // never a no-partition window), the halves join on it, and a
+    // position-weighted checksum proves the concat preserved both the
+    // row alignment and the intra-array order. Oracle: row position =
+    // rank by vec_id on both sides; both engines fold the weighted sum
+    // left-to-right in doubles, so round(4) is drift-free.
+    QueryDef(
+      "j3_positional_concat",
+      (s, d) => {
+        val base = T.embeddings(s, d).orderBy("vec_id")
+        val a = graft.etl.OmicsReader.withRowIdx(
+          base.select(col("vec_id"), slice(col("embedding"), 1, 32).as("x1")),
+          "ridx")
+        val b = graft.etl.OmicsReader.withRowIdx(
+          base.select(slice(col("embedding"), 33, 32).as("x2")), "ridx")
+        a.join(b, "ridx")
+          .select(col("vec_id"), concat(col("x1"), col("x2")).as("e"))
+          .select(col("vec_id"), size(col("e")).cast("long").as("width"),
+            round(expr("aggregate(zip_with(e, sequence(1, size(e)), " +
+              "(v, i) -> CAST(v AS DOUBLE) * i), 0D, (acc, x) -> acc + x)"),
+              4).as("wsum"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH a AS (SELECT vec_id,
+                     row_number() OVER (ORDER BY vec_id) AS ridx,
+                     embedding[1:32] AS x1 FROM embeddings),
+              b AS (SELECT row_number() OVER (ORDER BY vec_id) AS ridx,
+                     embedding[33:64] AS x2 FROM embeddings),
+              j AS (SELECT a.vec_id, list_concat(a.x1, b.x2) AS e
+                    FROM a JOIN b USING (ridx))
+              SELECT vec_id, len(e) AS width,
+                     round(list_reduce(list_transform(range(1, len(e) + 1),
+                       i -> CAST(e[i] AS DOUBLE) * i),
+                       (acc, x) -> acc + x), 4) AS wsum
+              FROM j ORDER BY vec_id""")),
 
     // J4: index union + distinct (AE_results.ipynb cell 52).
     QueryDef(
@@ -475,6 +580,42 @@ object RelationalOps {
                      count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
                      count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // A16: grouped JSON-key aggregation — the reference's per-model
+    // JSON result dictionaries (map key → loss array, AE_results.ipynb
+    // cell 28) aggregated as mean/std(pop) per TRUNCATED key
+    // ('_'.join(key.split('_')[:1]), the cell-28 idiom). The query
+    // renders the reference-shaped JSON file from `supplier` (key =
+    // grp<nation>_rep<suppkey%2>, values sorted for determinism; built
+    // with to_json(map_from_entries(...)) — no driver-side loop), reads
+    // it back through the S11 multiLine JSON scan + stack unpivot
+    // (ResultTables.readResultJson), truncates, and aggregates. Oracle:
+    // the same mean/std over the parquet rows (j8 recipe).
+    QueryDef(
+      "a16_result_agg",
+      (s, d) => {
+        import graft.pipeline.ResultTables
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_a16_" +
+          graft.etl.ScaleUtils.pathTag(d)
+        T.supplier(s, d)
+          .select(concat(lit("grp"), col("s_nationkey"), lit("_rep"),
+            pmod(col("s_suppkey"), lit(2))).as("key"),
+            col("s_acctbal").as("v"))
+          .groupBy("key").agg(sort_array(collect_list("v")).as("vals"))
+          .agg(to_json(map_from_entries(sort_array(
+            collect_list(struct(col("key"), col("vals")))))).as("j"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+        ResultTables.meanStdByKey(
+            ResultTables.readResultJson(s, dir), keyParts = 1)
+          .select(col("key"), round(col("mean"), 4).as("mean"),
+            round(col("std"), 4).as("std"), col("n"))
+          .orderBy("key")
+      },
+      Some("""SELECT 'grp' || s_nationkey AS key,
+                     round(avg(s_acctbal), 4) AS mean,
+                     round(stddev_pop(s_acctbal), 4) AS std,
+                     count(*) AS n
+              FROM supplier GROUP BY 1 ORDER BY key""")),
 
     // A8: accuracy as conditional mean (evaluation.py:11).
     QueryDef(

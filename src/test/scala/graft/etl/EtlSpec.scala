@@ -111,6 +111,37 @@ class EtlSpec extends SparkSpec {
         .map(_.getString(1)).toSeq == Seq("gene_a", "gene_b", "gene_c"))
     }
 
+    it("survives a Generate over features under ANSI (inferred-filter " +
+        "cast hazard)") {
+      // regression (r10): posexplode over `features` makes
+      // InferFiltersFromGenerate copy size(features) > 0 into the same
+      // Filter as the header drop, and codegen subexpression
+      // elimination evaluates the transform's strict ANSI cast BEFORE
+      // the header-equality conjunct — without the reader's header
+      // guard this threw CAST_INVALID_INPUT on the header row itself
+      import org.apache.spark.sql.functions._
+      val f = java.nio.file.Files.createTempFile("graft-s2g", ".tsv")
+      java.nio.file.Files.writeString(f,
+        "sid\tg1\tg2\nS1\t0.5\t1.5\nS2\t2.0\t3.0\n")
+      val m = OmicsReader.readSamplesAsRows(spark, f.toString, idCol = "sid")
+      val rows = m.data
+        .select(col("sample_id"), posexplode(col("features")))
+        .orderBy("sample_id", "pos").collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getDouble(2)).toSeq == Seq(0.5, 1.5, 2.0, 3.0))
+      // strictness is preserved for genuinely malformed DATA rows
+      val bad = java.nio.file.Files.createTempFile("graft-s2b", ".tsv")
+      java.nio.file.Files.writeString(bad,
+        "sid\tg1\nS1\tnot_a_number\n")
+      val e = intercept[Exception] {
+        OmicsReader.readSamplesAsRows(spark, bad.toString, idCol = "sid")
+          .data.select(col("sample_id"), posexplode(col("features")))
+          .collect()
+      }
+      assert(e.getMessage.contains("CAST_INVALID_INPUT") ||
+        Option(e.getCause).exists(_.getMessage.contains("CAST_INVALID_INPUT")))
+    }
+
     it("honors a NAMED id column in any position") {
       val f = java.nio.file.Files.createTempFile("graft-s2n", ".tsv")
       java.nio.file.Files.writeString(f,
