@@ -81,10 +81,31 @@ object QueryTime {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    // VERDICT r9 ask #6: the stateful streaming queries get their state
+    // -store provider from the MEASURED sizing rule, not a static pick —
+    // live keys estimated once from the event table, deployment = this
+    // probe JVM (1 executor, its max heap). At anchor/×10 volumes the
+    // rule keeps Spark's in-heap default; a ×1000 blow-up on a 24 g heap
+    // crosses the 300 k keys/GiB envelope and flips to RocksDB.
+    val statefulZ = Set("z4_stream_windowed", "z8_stream_append",
+      "z9_stream_sessions", "z10_session_window", "z13_stream_join",
+      "z15_stream_sessions_all", "z16_stream_session_window",
+      "z18_stream_dedup")
+    lazy val providerByRule: String = {
+      val liveKeys = graft.streaming.EventStream
+        .liveKeyEstimate(spark, sfDir)
+      val heapGiB = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      val p = graft.streaming.StateStores
+        .configure(spark, liveKeys, executors = 1, executorHeapGiB = heapGiB)
+      println(f"[qtime] state-store rule: liveKeys=$liveKeys " +
+        f"heapGiB=$heapGiB%.1f -> $p")
+      p
+    }
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"[qtime] $name: UNKNOWN")
         case Some(fn) =>
+          if (statefulZ(name)) providerByRule // first stateful query applies it
           val times = (1 to 2).map { pass =>
             // stage metrics cover the WARM pass only (pass 2): the cold
             // pass builds pay-once fixtures whose stages would swamp the

@@ -32,6 +32,25 @@ class StateStoresSpec extends SparkSpec {
         .contains(StateStores.RocksDbProvider))
     }
 
+    it("liveKeyEstimate feeds the rule sensible planning numbers") {
+      // r10 ask #6: the probe harness derives the rule's input from the
+      // event table itself. On the test corpus: the estimate must be at
+      // least the user population (session/window/join state) and at
+      // most the total event count (dedup state can never exceed it),
+      // and with the 2 h watermark horizon against the corpus's
+      // multi-day span it must sit well below that ceiling.
+      val sf = "/root/testdata/sf0.001"
+      val ev = EventStream.readEvents(spark, sf)
+      val users = ev.select("user_id").distinct().count()
+      val n = ev.count()
+      val est = EventStream.liveKeyEstimate(spark, sf)
+      // approx_count_distinct tolerance on the user floor
+      assert(est >= (users * 0.9).toLong && est <= n,
+        s"estimate $est outside [$users*0.9, $n]")
+      // and the composition picks in-heap for this tiny deployment
+      assert(StateStores.provider(est, 1, 4.0).isEmpty)
+    }
+
     it("configure() routes a real stateful stream through the choice") {
       val sf = "/root/testdata/sf0.001"
       val prev = spark.conf.getOption(StateStores.ProviderConf)
