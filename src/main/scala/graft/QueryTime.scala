@@ -94,11 +94,22 @@ object QueryTime {
     lazy val providerByRule: String = {
       val liveKeys = graft.streaming.EventStream
         .liveKeyEstimate(spark, sfDir)
-      val heapGiB = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      // deployment = what this session actually runs on: under a
+      // separate-JVM master the executor list (minus the driver entry)
+      // and spark.executor.memory; in local mode one JVM at its max heap
+      val infos = spark.sparkContext.statusTracker.getExecutorInfos
+      val separate = infos.length > 1
+      val executors = if (separate) infos.length - 1 else 1
+      val heapGiB =
+        if (separate)
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.executor.memory", "1g")) /
+            (1024.0 * 1024 * 1024)
+        else Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
       val p = graft.streaming.StateStores
-        .configure(spark, liveKeys, executors = 1, executorHeapGiB = heapGiB)
+        .configure(spark, liveKeys, executors, heapGiB)
       println(f"[qtime] state-store rule: liveKeys=$liveKeys " +
-        f"heapGiB=$heapGiB%.1f -> $p")
+        f"executors=$executors heapGiB=$heapGiB%.1f -> $p")
       p
     }
     names.foreach { name =>
@@ -124,6 +135,24 @@ object QueryTime {
           }
           println(f"[qtime] $name%-22s cold=${times(0)._1}%6.2fs " +
             f"warm=${times(1)._1}%6.2fs rows=${times(1)._2}")
+          // SPARK_GRAFT_CHECKSUM=1: order-insensitive content hash of
+          // the full result (xor of per-row xxhash64 over every column)
+          // so a separate-JVM run can be asserted bit-identical to the
+          // fused run at scales the DuckDB oracle can't reach
+          // (VERDICT r9 ask #5). xor over the row-hash multiset is
+          // partitioning- and order-independent; determinism of the
+          // queries themselves is RetryDeterminismSpec's contract.
+          if (sys.env.get("SPARK_GRAFT_CHECKSUM").contains("1")) {
+            val df = fn(spark, sfDir)
+            val h = df
+              .select(org.apache.spark.sql.functions.xxhash64(
+                df.columns.map(org.apache.spark.sql.functions.col): _*)
+                .as("h"))
+              .agg(org.apache.spark.sql.functions.expr("bit_xor(h)"))
+              .head()
+            println(s"[qhash] $name ${if (h.isNullAt(0)) "EMPTY"
+              else h.getLong(0).toHexString}")
+          }
           // listener events are posted asynchronously; drain before report
           metrics.foreach { l =>
             org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)

@@ -1,24 +1,108 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
-/** Dev audit for z4_stream_windowed's cost structure: run the
-  * AvailableNow windowed stream N times and print, per run, the wall
-  * time split into stream START (source discovery + planning + state
-  * init, paid once per query start regardless of data volume) vs
-  * EXECUTION (batch processing, the part that scales with data), plus
-  * Spark's own per-batch triggerExecution numbers. Findings land in
-  * SCALE.md §z4. */
+/** Dev audit for the streaming queries' cost anatomy (SCALE.md §z4;
+  * re-run for VERDICT r9 ask #7 with honest forcing and the 16-shard
+  * state sizing): per query, wall time split into stream START (source
+  * discovery + planning + state init — paid once per query start) vs
+  * batch EXECUTION, and the per-batch `durationMs` breakdown Spark
+  * reports (addBatch = real work incl. sink I/O; walCommit +
+  * commitOffsets = the commit protocol; queryPlanning; state-store
+  * commit isolated from the stateOperators metrics). Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=16 \
+  *     java -cp <cp> graft.StreamAudit [query ...]
+  *
+  * Default queries: the eight real micro-batch executions that carry
+  * ~13 s of the 59 s bench total. Legacy z4-only mode:
+  * `graft.StreamAudit --z4` (the r6 start-vs-exec table).
+  */
 object StreamAudit {
+
+  private final case class B(batchId: Long, durations: Map[String, Long],
+      stateCommitMs: Long, stateUpdateMs: Long, stateRows: Long,
+      outRows: Long)
+
+  /** Collects every QueryProgressEvent; the streaming listener bus is
+    * async, so readers sleep briefly after awaitTermination. */
+  private final class Progress extends StreamingQueryListener {
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[B]
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      import scala.jdk.CollectionConverters._
+      val d = p.durationMs.asScala.map { case (k, v) => k -> v.toLong }
+      val ops = p.stateOperators.toSeq
+      batches.add(B(p.batchId, d.toMap,
+        ops.map(o => Option(o.customMetrics.get("commitTimeMs"))
+          .map(_.toLong).getOrElse(0L)).sum,
+        ops.map(_.allUpdatesTimeMs).sum,
+        ops.map(_.numRowsTotal).sum,
+        p.sink.numOutputRows))
+    }
+    def drainAll(): Seq[B] = {
+      Thread.sleep(1000) // listener bus is async
+      import scala.jdk.CollectionConverters._
+      val out = batches.asScala.toSeq
+      batches.clear()
+      out
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // match the bench environment: warmed file index (readEvents sets the
-    // nanosAsLong conf the TIMESTAMP(NANOS) parquet needs)
     graft.streaming.EventStream.readEvents(spark, sfDir).count()
+
+    if (args.headOption.contains("--z4")) { z4Legacy(spark, sfDir); return }
+
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("z4_stream_windowed", "z8_stream_append",
+        "z9_stream_sessions", "z13_stream_join",
+        "z15_stream_sessions_all", "z16_stream_session_window",
+        "z18_stream_dedup")
+    val listener = new Progress
+    spark.streams.addListener(listener)
+    println("[saudit] query,pass,wall_s,batches,trigger_ms,addBatch_ms," +
+      "walCommit_ms,commitOffsets_ms,planning_ms,stateCommit_ms," +
+      "stateUpdate_ms,stateRows,outRows,start_overhead_ms")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"[saudit] $name: UNKNOWN")
+        case Some(fn) =>
+          (1 to 2).foreach { pass =>
+            listener.drainAll()
+            val t0 = System.nanoTime()
+            Force(fn(spark, sfDir))
+            val wall = (System.nanoTime() - t0) / 1e9
+            val bs = listener.drainAll()
+            def sum(k: String) = bs.map(_.durations.getOrElse(k, 0L)).sum
+            val trigger = sum("triggerExecution")
+            println(f"[saudit] $name,${if (pass == 1) "cold" else "warm"}," +
+              f"$wall%.2f,${bs.length},$trigger,${sum("addBatch")}," +
+              f"${sum("walCommit")},${sum("commitOffsets")}," +
+              f"${sum("queryPlanning")},${bs.map(_.stateCommitMs).sum}," +
+              f"${bs.map(_.stateUpdateMs).sum},${bs.map(_.stateRows).sum}," +
+              f"${bs.map(_.outRows).sum}," +
+              f"${math.round(wall * 1000 - trigger)}")
+          }
+      }
+    }
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+
+  private def z4Legacy(spark: SparkSession, sfDir: String): Unit = {
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     (1 to runs).foreach { r =>
       val (startMs, execMs, batches) = graft.streaming.EventStream
         .timeWindowedOnce(spark, sfDir, queryName = s"stream_audit_$r")
@@ -26,6 +110,5 @@ object StreamAudit {
         s"batches=${batches.mkString("[", ",", "]")}ms " +
         s"total=${startMs + execMs}ms")
     }
-    spark.stop()
   }
 }
