@@ -33,32 +33,25 @@ object EventStream {
   val DefaultStateShards: Int = 8
 
   /** Live-key estimate feeding `StateStores.configure` (the measured
-    * in-heap/RocksDB rule): the stateful z-queries key their stores by
-    * USER (sessions, session windows, stream-stream join state) or by
-    * EVENT ID inside the watermark horizon (z18 dedup keeps every seen
-    * id until the 2 h watermark passes it). Users bound the former;
-    * the dedup population is total events scaled by horizon/span
-    * (events are uniform over the span by construction — TESTDATA.md).
-    * The max of the two is the planning number — an upper bound on any
-    * single query's live state, which is the right input for a rule
-    * whose failure mode (GC collapse) is one-sided. One tiny agg job,
-    * run once per dataset by the probe harness. */
-  def liveKeyEstimate(spark: SparkSession, sfDir: String): Long = {
-    import org.apache.spark.sql.functions._
-    val r = readEvents(spark, sfDir).agg(
-        approx_count_distinct(col("user_id")).as("users"),
-        count(lit(1)).as("n"),
-        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
-          .as("span_us"))
-      .head()
-    val users = r.getLong(0)
-    val n = r.getLong(1)
-    val spanUs = math.max(r.getLong(2), 1L)
-    val horizonUs = 2L * 3600 * 1000000 // the runners' 2 h watermark
-    val inHorizon =
-      math.min(n, (n.toDouble * horizonUs / spanUs).toLong + 1)
-    math.max(users, inHorizon)
-  }
+    * in-heap/RocksDB rule) for the engine's BOUNDED AvailableNow
+    * runners. A bounded replay typically lands the whole table in one
+    * micro-batch, so the watermark never evicts anything mid-run and
+    * live state approaches the total keyed population — NOT the
+    * steady-state events-within-horizon a continuous deployment would
+    * hold (measured: z16's state at ×100 is 5.66 M rows ≈ the distinct
+    * (user, 6 h-bucket) session population, 38× the 148 k a
+    * horizon-scaled estimate gave — the r10 first-cut estimator was
+    * exactly that mistake). Worst case across the stateful query
+    * classes is total EVENTS (z18 dedup keys every event id; the z13
+    * join buffers every in-window row); session/window state is
+    * strictly smaller. So the bounded-replay planning number is the
+    * event count — one cheap count job, conservative in the direction
+    * that matters (the failure mode, GC collapse, is one-sided; the
+    * flip's cost is only the measured 2–6× RocksDB per-op factor). A
+    * continuous deployment would instead feed the rule its own
+    * steady-state horizon population. */
+  def liveKeyEstimate(spark: SparkSession, sfDir: String): Long =
+    readEvents(spark, sfDir).count()
 
   /** Run a bounded streaming execution with its state-store shard count
     * sized to the STATE, not to the session's batch shuffle width.
