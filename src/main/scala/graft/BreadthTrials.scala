@@ -33,7 +33,11 @@ object BreadthTrials {
     val cmd = args(0)
     val nTotal = args(1).toInt
     val epochScale = args(2).toDouble
-    val hypers = RandomSearch.hyperSequence(nTotal, 42)
+    // BREADTH_SEED: seed-replication knob for the floor claim (the
+    // search contract itself stays seed-42; a second seed measures the
+    // floor's sampling variance, QUALITY_r10)
+    val seed = sys.env.getOrElse("BREADTH_SEED", "42").toLong
+    val hypers = RandomSearch.hyperSequence(nTotal, seed)
 
     if (cmd == "plan") {
       hypers.zipWithIndex.foreach { case (h, t) =>
@@ -106,13 +110,14 @@ object BreadthCombine {
     val dataset = args(3)
     val prefixes = args(4).split(",").map(_.toInt).toSeq
     val lossFile = args(5)
+    val seed = sys.env.getOrElse("BREADTH_SEED", "42").toLong
 
     val rx = """t=(\d+) losses=([0-9eE+\-.,NaN]+)""".r.unanchored
     val byTrial = scala.io.Source.fromFile(lossFile).getLines()
       .collect { case rx(t, ls) =>
         t.toInt -> ls.split(",").map(_.toDouble).toSeq }
       .toMap
-    val hypers = RandomSearch.hyperSequence(nTotal, 42)
+    val hypers = RandomSearch.hyperSequence(nTotal, seed)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("BREADTH_MASTER", "local[12]"))
