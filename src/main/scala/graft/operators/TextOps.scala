@@ -494,7 +494,7 @@ object TextOps {
   @volatile var lastCcRounds: Int = -1
 
   def connectedComponents(edges: DataFrame,
-      driverMaxEdges: Long = 2000000L): DataFrame = {
+      driverMaxEdges: Long = Long.MaxValue): DataFrame = {
     // localCheckpoint truncates lineage every round. Without it the
     // round-r logical plan nests the round-(r−1) plan on BOTH sides of
     // the pointer-jump self-join — plan size doubles per round and
@@ -520,7 +520,13 @@ object TextOps {
     // (Long, Long) tuples box both longs (~72 B/edge) and the union-find
     // parent map adds ~64 B/entry — budget ~200 B/edge and cap at 1/8 of
     // the driver heap, so the gate scales with spark.driver.memory
-    // instead of assuming an 8 GiB driver.
+    // instead of assuming an 8 GiB driver. The heap gate is the ONLY
+    // default gate (r10): the old belt-and-suspenders 2 M-edge constant
+    // sat 7× under the gate's own budget and pushed the ×100 blow-up's
+    // 5.8 M-edge dup graph through ~12 propagation rounds (~10 s of
+    // per-round scheduling) that a 1.2 GB driver solve finishes in ~2 s;
+    // `driverMaxEdges` remains as an explicit override (specs pass 0 to
+    // force the distributed loop).
     val heapGate = Runtime.getRuntime.maxMemory / 8 / 200
     val nEdges = e0.count()
     if (nEdges <= math.min(driverMaxEdges, heapGate)) {
