@@ -136,22 +136,33 @@ object QueryTime {
           println(f"[qtime] $name%-22s cold=${times(0)._1}%6.2fs " +
             f"warm=${times(1)._1}%6.2fs rows=${times(1)._2}")
           // SPARK_GRAFT_CHECKSUM=1: order-insensitive content hash of
-          // the full result (xor of per-row xxhash64 over every column)
-          // so a separate-JVM run can be asserted bit-identical to the
-          // fused run at scales the DuckDB oracle can't reach
-          // (VERDICT r9 ask #5). xor over the row-hash multiset is
-          // partitioning- and order-independent; determinism of the
-          // queries themselves is RetryDeterminismSpec's contract.
+          // the full result (per-row xxhash64 over every column) so a
+          // separate-JVM run can be asserted bit-identical to the fused
+          // run at scales the DuckDB oracle can't reach (VERDICT r9
+          // ask #5). Three independent folds over the row-hash
+          // multiset — xor, wrapping sum, and exact count — all
+          // partitioning- and order-independent; xor alone is blind to
+          // even-multiplicity differences (a dropped/doubled duplicate
+          // pair cancels), the sum+count close that hole (ADVICE r10).
+          // Determinism of the queries themselves is
+          // RetryDeterminismSpec's contract.
           if (sys.env.get("SPARK_GRAFT_CHECKSUM").contains("1")) {
             val df = fn(spark, sfDir)
             val h = df
               .select(org.apache.spark.sql.functions.xxhash64(
                 df.columns.map(org.apache.spark.sql.functions.col): _*)
                 .as("h"))
-              .agg(org.apache.spark.sql.functions.expr("bit_xor(h)"))
+              .agg(org.apache.spark.sql.functions.expr("bit_xor(h)"),
+                // decimal(38,0) sum: exact to ~1e19 rows, no ANSI
+                // overflow, still a pure multiset fold
+                org.apache.spark.sql.functions.expr(
+                  "sum(cast(h AS DECIMAL(38,0)))"),
+                org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)))
               .head()
             println(s"[qhash] $name ${if (h.isNullAt(0)) "EMPTY"
-              else h.getLong(0).toHexString}")
+              else s"${h.getLong(0).toHexString}/${h.getDecimal(1)}" +
+                s"/${h.getLong(2)}"}")
           }
           // listener events are posted asynchronously; drain before report
           metrics.foreach { l =>

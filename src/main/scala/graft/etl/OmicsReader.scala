@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.LongType
 
 /** Ingestion of omics feature matrices into the engine's canonical shape
   * `(sample_id: String, features: Array[Double])` + a feature-name dim
@@ -28,11 +28,14 @@ object OmicsReader {
     * `zipWithIndex` (file-split partitions are ordered by offset, so
     * partition order IS file order; one extra tiny job computes the
     * per-partition offsets) — never a no-partition window, which would
-    * funnel the whole ingest through a single task at scale. */
+    * funnel the whole ingest through a single task at scale. The index
+    * is LongType: zipWithIndex is already Long, and an Int column would
+    * silently wrap negative past 2^31 rows and mis-align positional
+    * joins (j3) instead of failing (ADVICE r10). */
   private[graft] def withRowIdx(df: DataFrame, name: String): DataFrame = {
-    val schema = df.schema.add(name, IntegerType, nullable = false)
+    val schema = df.schema.add(name, LongType, nullable = false)
     val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i.toInt)
+      Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }

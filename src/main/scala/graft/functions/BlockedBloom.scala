@@ -103,7 +103,7 @@ object BlockedBloom {
       // guidance beats a hard require.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"BlockedBloom.sized($expectedKeys) exceeds the $cap-block cap " +
-          s"(~8.6 GB) by ${blocks / cap}x — clamping; expected fpp " +
+          f"(~8.6 GB) by ${blocks.toDouble / cap}%.1fx — clamping; expected fpp " +
           "degrades accordingly. Shard the key space across multiple " +
           "filters or raise the confirm-join share instead.")
     new BlockedBloom(math.min(blocks, cap).toInt)

@@ -527,9 +527,20 @@ object TextOps {
     // per-round scheduling) that a 1.2 GB driver solve finishes in ~2 s;
     // `driverMaxEdges` remains as an explicit override (specs pass 0 to
     // force the distributed loop).
+    // The collect must also clear spark.driver.maxResultSize (default
+    // 1g): on a driver heap above ~100 GiB the heap gate alone would
+    // admit collects the result-size guard then aborts with a
+    // SparkException instead of falling back to the distributed loop
+    // (ADVICE r10). Serialized edges are ~16 B each; budget 3/4 of the
+    // limit to leave headroom for task-result framing. 0 = unlimited.
     val heapGate = Runtime.getRuntime.maxMemory / 8 / 200
+    val maxResultBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        edges.sparkSession.conf.get("spark.driver.maxResultSize", "1g"))
+    val resultGate =
+      if (maxResultBytes <= 0L) Long.MaxValue else maxResultBytes * 3 / 4 / 16
     val nEdges = e0.count()
-    if (nEdges <= math.min(driverMaxEdges, heapGate)) {
+    if (nEdges <= math.min(driverMaxEdges, math.min(heapGate, resultGate))) {
       import edges.sparkSession.implicits._
       // typed collect: primitive-friendly encoder path, no Row boxing
       val pairs = e0.as[(Long, Long)].collect()

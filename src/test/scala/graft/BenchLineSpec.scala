@@ -125,6 +125,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(n.get("value").asDouble - results.map(_._2).sum) < 1e-3)
   }
 
+  test("median-of-N: an explicit total survives every rendering path") {
+    // r10 ask #4: with repeated timed passes, "queries" carries
+    // per-query MEDIANS while "value" is the median of per-pass TOTALS
+    // — the two must stay independent through normal AND drop paths.
+    val medTotal = 123.456
+    val extra = s""","failed":0,"n":3,"min":120.000,"max":130.000"""
+    val n1 = mapper.readTree(
+      Bench.compactLine(results, "sf0.1", extra = extra, total = medTotal))
+    assert(math.abs(n1.get("value").asDouble - medTotal) < 5e-3)
+    assert(n1.get("n").asInt == 3)
+    assert(math.abs(n1.get("min").asDouble - 120.0) < 1e-9)
+    assert(math.abs(n1.get("max").asDouble - 130.0) < 1e-9)
+    val n2 = mapper.readTree(Bench.compactLine(results, "sf0.1",
+      budget = 400, extra = extra, total = medTotal))
+    assert(n2.get("dropped").asInt > 0)
+    assert(math.abs(n2.get("value").asDouble - medTotal) < 5e-3)
+    assert(n2.get("n").asInt == 3)
+  }
+
   test("fixture_backed names all exist in the query map and render as JSON") {
     val qs = graft.SparkEntry.queries.keySet
     val ghosts = Bench.FixtureBacked.filterNot(qs.contains)

@@ -21,7 +21,8 @@ class EtlSpec extends SparkSpec {
       // first data row of the file: "mmu-let-7c-2-3p" with value 71 for
       // sample Group1.Time1.Rep1 (verified against the raw TSV)
       val fn = m.featureNames.orderBy("feature_idx").head()
-      assert(fn.getInt(0) == 0 && fn.getString(1) == "mmu-let-7c-2-3p")
+      // feature_idx is LongType (ADVICE r10: Int wraps past 2^31 rows)
+      assert(fn.getLong(0) == 0L && fn.getString(1) == "mmu-let-7c-2-3p")
       val r1 = rows.find(_.getString(0) == "Group1.Time1.Rep1").get
       assert(r1.getSeq[Double](1).head == 71.0)
     }
