@@ -25,5 +25,11 @@ final class Adam(n: Int, lr: Double, weightDecay: Double = 0.0,
       params(i) -= lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
       i += 1
     }
+    if (Kernel.F32) {
+      // numerics probe (-Dgraft.kernel.f32=true): torch keeps Adam
+      // state in the params' dtype — round moments and params like
+      // every other stored tensor
+      Kernel.qa(m); Kernel.qa(v); Kernel.qa(params)
+    }
   }
 }

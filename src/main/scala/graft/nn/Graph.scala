@@ -84,6 +84,9 @@ final case class GraphModel(graph: AeGraph, loss: Vector[LossTerm])
       rng: java.util.Random)
       : (Array[DenseMatrix[Double]], Array[Kernel.MlpRunner]) = {
     val (po, so) = offsets
+    // F32 probe no-ops unless -Dgraft.kernel.f32=true (the reference
+    // casts each batch to torch.float32 — Kernel.F32 scaladoc)
+    Kernel.qm(x1); Kernel.qm(x2)
     val vals = new Array[DenseMatrix[Double]](graph.nodes.length)
     val runners = new Array[Kernel.MlpRunner](graph.nodes.length)
     graph.nodes.zipWithIndex.foreach { case (n, i) =>
@@ -120,9 +123,9 @@ final case class GraphModel(graph: AeGraph, loss: Vector[LossTerm])
     val outGrads = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
     loss.foreach { term =>
       val (l, gs) = term.compute(outs, x1, x2)
-      total += l
+      total = Kernel.q(total + Kernel.q(l))
       gs.foreach { case (k, g) =>
-        outGrads(k) = outGrads.get(k).map(_ + g).getOrElse(g)
+        outGrads(k) = outGrads.get(k).map(_ + Kernel.qm(g)).getOrElse(Kernel.qm(g))
       }
     }
 
@@ -164,6 +167,7 @@ final case class GraphModel(graph: AeGraph, loss: Vector[LossTerm])
         sOff += mlp.statCount
       case _ =>
     }
-    Kernel.BatchResult(total, grads, bs, x1.rows)
+    Kernel.BatchResult(Kernel.q(total), Kernel.qa(grads), Kernel.qa(bs),
+      x1.rows)
   }
 }

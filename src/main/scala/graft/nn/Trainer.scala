@@ -124,6 +124,7 @@ object Trainer {
               Kernel.BnMomentum * res.batchStats(i)
             i += 1
           }
+          Kernel.qa(stats) // no-op unless the F32 numerics probe is on
           epochLoss += res.loss * res.n
           seen += res.n
         }
@@ -254,6 +255,7 @@ object Trainer {
           Kernel.BnMomentum * aggStats(i)
         i += 1
       }
+      Kernel.qa(stats) // no-op unless the F32 numerics probe is on
       losses += aggLoss
       bcParams.destroy(); bcStats.destroy()
     }
