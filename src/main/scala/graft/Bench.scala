@@ -118,6 +118,7 @@ object Bench {
     "j6_union_all", "j7_bucketed_join",
     "x6_minhash_dedup", "x8_ngram_jaccard", "x11_embed_neardup",
     "x13_simhash_neardup", "x16_dup_components", "x17_contamination",
+    "x21_lm_xent", // r11: reads the shared token fixture (ask r10 #6)
     "x23_dup_spans", "x26_semantic_components", "x29_curation_pipeline",
     "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann")
 

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, PolyHash64, SimHash64, SpanHash}
+import graft.functions.{CosineSimilarity, PolyHash64, RollingFingerprint,
+  SimHash64, SpanHash}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions into every session built with
@@ -17,6 +18,7 @@ import graft.functions.{CosineSimilarity, PolyHash64, SimHash64, SpanHash}
   *   - `graft_cosine(array<float|double>, array<float|double>)`
   *   - `graft_polyhash64(string)` — portable 64-bit string hash
   *   - `graft_simhash64(array<bigint>)` — 64-bit SimHash fingerprint
+  *   - `graft_fingerprint(string)` — Rabin–Karp code-point fingerprint
   *   - `graft_span_hash(array<bigint>, n)` — width-n Horner span hashes
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -34,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => PolyHash64(children.head))
     inject("graft_simhash64", classOf[SimHash64],
       children => SimHash64(children.head))
+    inject("graft_fingerprint", classOf[RollingFingerprint],
+      children => RollingFingerprint(children.head))
     inject("graft_span_hash", classOf[SpanHash], { children =>
       require(children.length == 2 && children(1).foldable,
         "graft_span_hash(token_hashes, n): n must be a literal integer")

@@ -246,6 +246,23 @@ object TextOps {
 
   private val shingleCache = new graft.etl.DfCache
   private val spanHashCache = new graft.etl.DfCache
+  private val tokenCache = new graft.etl.DfCache
+
+  /** Per-dataset persisted token frame `(doc_id, t)` — the ROOT
+    * pay-once fixture the derived fixtures (hashed shingles for x6/x8,
+    * span hashes for x23) and the heaviest per-token fold (x21) all
+    * read, so the corpus is tokenized ONCE per dataset instead of once
+    * per consumer (VERDICT r10 ask #6: at ×1000 the independent
+    * re-tokenizations dominated the honest x-rows). At 100 TB this is
+    * the "tokenize at ingest, store the token column" layout — the
+    * fixture is the same size class as the text itself and
+    * MEMORY_AND_DISK spills it like any other derived table. */
+  def cachedTokens(spark: SparkSession, d: String): DataFrame =
+    tokenCache.getOrElseUpdate(d, {
+      T.documents(spark, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Fit-once-per-dataset Bloom sketches over the benchmark shingle set
     * (x30) — keyed by the documents dataTag so the memo goes stale with
@@ -258,6 +275,7 @@ object TextOps {
 
   /** Test hook: wipe the shingle/simhash memos (ADVICE r4). */
   private[graft] def clearCachesForTest(): Unit = {
+    tokenCache.clearForTest()
     shingleCache.clearForTest()
     spanHashCache.clearForTest()
     simhashBandCache.clearForTest()
@@ -280,8 +298,8 @@ object TextOps {
     * cliff). Both sides of x23's dup-count join read this one frame. */
   def cachedSpanHashes(spark: SparkSession, d: String, n: Int): DataFrame =
     spanHashCache.getOrElseUpdate(s"$d|$n", {
-      T.documents(spark, d)
-        .select(col("doc_id"), shingleHashes(tokens(col("text"))).as("ht"))
+      cachedTokens(spark, d)
+        .select(col("doc_id"), shingleHashes(col("t")).as("ht"))
         .select(col("doc_id"),
           array_distinct(graft.functions.SpanHash.spanHash(col("ht"), n))
             .as("hs"))
@@ -309,7 +327,9 @@ object TextOps {
     * hash runs once per dataset, k-permutations stay per-query. */
   def cachedHashedShingles(spark: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate(d, {
-      hashedShingles(T.documents(spark, d))
+      cachedTokens(spark, d)
+        .withColumn("sh", shingles(col("t")))
+        .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -783,22 +803,20 @@ object TextOps {
               ORDER BY doc_a, doc_b""")),
 
     // Document fingerprint: Rabin-Karp rolling polynomial hash over the
-    // raw characters, fp = fold(acc·257 + codepoint) mod 1e9+7 — kept in
-    // [0, 1e9+7) so ANSI overflow can't fire (max acc·257+c ≈ 2.6e11).
-    // Pure arithmetic on codepoints, so it is engine-portable and fully
-    // DuckDB-oracled (list_reduce over the same char fold) — unlike the
-    // earlier xxhash64-per-token variant. One codegen'd pass per char;
-    // split-on-empty emits a trailing "" (Java split limit −1) which the
-    // filter drops.
+    // raw code points, fp = fold(acc·257 + codepoint) mod 1e9+7 — kept
+    // in [0, 1e9+7) so ANSI overflow can't fire. Pure arithmetic on
+    // codepoints, so it is engine-portable and fully DuckDB-oracled
+    // (list_reduce over the same char fold). r11: the split-into-chars
+    // HOF fold (one UTF8String allocated PER CHARACTER, lambda
+    // interpreted) was x9's whole 80–100 s at ×1000; the native
+    // codegen'd [[graft.functions.RollingFingerprint]] folds straight
+    // over the string's UTF-8 bytes — same value, one fused loop
+    // (before/after in BENCH_SCALES §r11).
     QueryDef(
       "x9_fingerprint",
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
-          aggregate(
-            transform(Fn.filter(split(col("text"), ""), c => c =!= ""),
-              c => ascii(c).cast("long")),
-            lit(0L),
-            (acc, c) => pmod(acc * lit(257L) + c, lit(1000000007L)))
+          graft.functions.RollingFingerprint.fingerprint(col("text"))
             .as("fingerprint"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
@@ -1247,9 +1265,12 @@ object TextOps {
     QueryDef(
       "x21_lm_xent",
       (s, d) => {
-        val toksAll = T.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 2)
+        // r11: read the shared token fixture — this query walks the
+        // token frame THREE times (unigram counts, bigram counts, the
+        // per-doc scoring explode); inlining the tokenizer re-tokenized
+        // the corpus once per walk (VERDICT r10 ask #6, before/after in
+        // BENCH_SCALES §r11)
+        val toksAll = cachedTokens(s, d).filter(size(col("t")) >= 2)
         val train = toksAll.filter(col("doc_id") % 5 =!= 0)
         val uni = train.select(explode(col("t")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cu"))

@@ -200,6 +200,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("RollingFingerprint native expression (x9)") {
+    it("matches the HOF char-fold formulation on the documents corpus") {
+      // the formulation x9 shipped through r10: split-into-chars +
+      // interpreted lambda fold (kept here as the independent reference)
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val hof = docs.select(col("doc_id"),
+          aggregate(
+            transform(filter(split(col("text"), ""), c => c =!= ""),
+              c => ascii(c).cast("long")),
+            lit(0L),
+            (acc, c) => pmod(acc * lit(257L) + c, lit(1000000007L)))
+            .as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val native = docs.select(col("doc_id"),
+          RollingFingerprint.fingerprint(col("text")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == hof)
+    }
+
+    it("survives codegen on edge inputs and folds CODE POINTS") {
+      import spark.implicits._
+      val inputs = Seq("", "a", "ab", "héllo", "日本語", "😀x")
+      val got = inputs.toDF("s")
+        .select(RollingFingerprint.fingerprint(col("s")).as("fp"))
+        .collect().map(_.getLong(0))
+      def ref(s: String): Long = {
+        var acc = 0L
+        s.codePoints().forEach(cp =>
+          acc = (acc * RollingFingerprint.B + cp) % RollingFingerprint.P)
+        acc
+      }
+      assert(got.toSeq == inputs.map(ref))
+      // supplementary plane: ONE code point (DuckDB unicode() parity),
+      // not two surrogate code units
+      assert(ref("😀x") ==
+        ((0x1F600L * 257 + 'x') % RollingFingerprint.P))
+    }
+  }
+
   describe("PolyHash64 native expression") {
     it("matches the Scala reference fold on the documents corpus") {
       val docs = spark.read
