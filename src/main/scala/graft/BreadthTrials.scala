@@ -52,7 +52,11 @@ object BreadthTrials {
     val arch = args(3)
     val dataset = args(4)
     val trials = args(5).split(",").map(_.toInt).toSeq
-    val cv = 3
+    // BREADTH_CV: fold-count knob (QUALITY_r11 cv=5 confirmation — the
+    // reference searches with Objective_CV(cv=5); the engine contract
+    // is cv=3. Replay is cv-agnostic, so a cv=5 worker wave + cv=5
+    // replay IS a full-fidelity cv=5 search of the same trial sequence)
+    val cv = sys.env.getOrElse("BREADTH_CV", "3").toInt
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("BREADTH_MASTER", "local[6]"))
@@ -111,6 +115,7 @@ object BreadthCombine {
     val prefixes = args(4).split(",").map(_.toInt).toSeq
     val lossFile = args(5)
     val seed = sys.env.getOrElse("BREADTH_SEED", "42").toLong
+    val cv = sys.env.getOrElse("BREADTH_CV", "3").toInt
 
     val rx = """t=(\d+) losses=([0-9eE+\-.,NaN]+)""".r.unanchored
     val byTrial = scala.io.Source.fromFile(lossFile).getLines()
@@ -140,7 +145,7 @@ object BreadthCombine {
           s"${(0 until p).filterNot(byTrial.contains).mkString(",")})")
       } else {
         val res = RandomSearch.replay(hypers.take(p),
-          (0 until p).map(byTrial), cv = 3)
+          (0 until p).map(byTrial), cv = cv)
         val ev = evalCache.getOrElseUpdate(res.best.trial,
           pipeline.SimulationRun.evalBest(prep, mkArch,
             res.best.hypers, epochScale))
