@@ -50,6 +50,30 @@ class BreadthReplaySpec extends SparkSpec {
     assert(rep.best.trial == live.best.trial)
   }
 
+  it("cv=5 replay over FULL worker loss vectors reproduces a live " +
+      "search that prunes mid-CV (QUALITY_r11 cv=5 confirmation)") {
+    // At cv=3/warmup=2 pruning only fires after the LAST fold, so the
+    // cases above never exercise truncation. At cv=5 the live walk can
+    // stop after fold 3 or 4 while a BreadthTrials worker computes all
+    // 5 — the replay must read exactly the folds the sequential walk
+    // visits and no more. Pad the truncated live vectors with NaN: if
+    // the replay ever reads a fold the live search skipped, avgLoss
+    // goes NaN and the equality fails loudly.
+    val live = RandomSearch.search(data, mkModel, nTrials = 8, cv = 5,
+      seed = 42, epochScale = 0.02)
+    assert(live.trials.exists(t => t.pruned && t.foldLosses.length < 5),
+      "fixture must contain a mid-CV prune or the case is vacuous")
+    val workerFull = live.trials.map(t =>
+      t.foldLosses ++ Seq.fill(5 - t.foldLosses.length)(Double.NaN))
+    val rep = RandomSearch.replay(
+      RandomSearch.hyperSequence(8, 42), workerFull, cv = 5)
+    assert(rep.trials.map(_.avgLoss) == live.trials.map(_.avgLoss))
+    assert(rep.trials.map(_.pruned) == live.trials.map(_.pruned))
+    assert(rep.trials.map(_.foldLosses) ==
+      live.trials.map(_.foldLosses))
+    assert(rep.best.trial == live.best.trial)
+  }
+
   it("a prefix replay equals a standalone search of that length") {
     val full = RandomSearch.search(data, mkModel, nTrials = 6, cv = 3,
       seed = 42, epochScale = 0.02)
