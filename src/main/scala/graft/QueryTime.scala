@@ -65,6 +65,27 @@ object QueryTime {
     }
   }
 
+  /** Order-insensitive content checksum of a full result: three
+    * independent folds over the per-row xxhash64 multiset — bit-xor,
+    * wrapping sum (decimal(38,0): exact to ~1e19 rows, no ANSI
+    * overflow), and exact count. All three are partitioning- and
+    * order-independent; xor alone is blind to even-multiplicity
+    * differences (a dropped/doubled duplicate PAIR cancels out of the
+    * xor), the sum+count close that hole (ADVICE r10,
+    * `ChecksumSpec`). Lets a separate-JVM run be asserted
+    * bit-identical to a fused run at scales the DuckDB oracle can't
+    * reach. Returns "EMPTY" for zero-row results. */
+  def contentChecksum(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val h = df
+      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)"), expr("sum(cast(h AS DECIMAL(38,0)))"),
+        count(lit(1)))
+      .head()
+    if (h.isNullAt(0)) "EMPTY"
+    else s"${h.getLong(0).toHexString}/${h.getDecimal(1)}/${h.getLong(2)}"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -135,35 +156,12 @@ object QueryTime {
           }
           println(f"[qtime] $name%-22s cold=${times(0)._1}%6.2fs " +
             f"warm=${times(1)._1}%6.2fs rows=${times(1)._2}")
-          // SPARK_GRAFT_CHECKSUM=1: order-insensitive content hash of
-          // the full result (per-row xxhash64 over every column) so a
-          // separate-JVM run can be asserted bit-identical to the fused
-          // run at scales the DuckDB oracle can't reach (VERDICT r9
-          // ask #5). Three independent folds over the row-hash
-          // multiset — xor, wrapping sum, and exact count — all
-          // partitioning- and order-independent; xor alone is blind to
-          // even-multiplicity differences (a dropped/doubled duplicate
-          // pair cancels), the sum+count close that hole (ADVICE r10).
+          // SPARK_GRAFT_CHECKSUM=1: see contentChecksum's scaladoc.
           // Determinism of the queries themselves is
           // RetryDeterminismSpec's contract.
-          if (sys.env.get("SPARK_GRAFT_CHECKSUM").contains("1")) {
-            val df = fn(spark, sfDir)
-            val h = df
-              .select(org.apache.spark.sql.functions.xxhash64(
-                df.columns.map(org.apache.spark.sql.functions.col): _*)
-                .as("h"))
-              .agg(org.apache.spark.sql.functions.expr("bit_xor(h)"),
-                // decimal(38,0) sum: exact to ~1e19 rows, no ANSI
-                // overflow, still a pure multiset fold
-                org.apache.spark.sql.functions.expr(
-                  "sum(cast(h AS DECIMAL(38,0)))"),
-                org.apache.spark.sql.functions.count(
-                  org.apache.spark.sql.functions.lit(1)))
-              .head()
-            println(s"[qhash] $name ${if (h.isNullAt(0)) "EMPTY"
-              else s"${h.getLong(0).toHexString}/${h.getDecimal(1)}" +
-                s"/${h.getLong(2)}"}")
-          }
+          if (sys.env.get("SPARK_GRAFT_CHECKSUM").contains("1"))
+            println(s"[qhash] $name ${
+              QueryTime.contentChecksum(fn(spark, sfDir))}")
           // listener events are posted asynchronously; drain before report
           metrics.foreach { l =>
             org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
