@@ -68,7 +68,8 @@ object ExecutorLossProof {
     def pass(): Seq[(String, String, Long)] = names.map { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       val cols = df.columns.sorted.map(c => col(c).cast("string"))
-      val r = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+      val r = df.select(xxhash64(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*).cast("decimal(38,0)").as("h"))
         .agg(sum("h").as("hs"), count(lit(1)).as("n")).head()
       (n, String.valueOf(r.getDecimal(0)), r.getLong(1))
     }
@@ -95,11 +96,11 @@ object ExecutorLossProof {
       // provably lands mid-stage (running tasks die with the JVM),
       // not in a gap between queries
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (tracker.getActiveStageIds.isEmpty &&
+      while (tracker.getActiveStageIds().isEmpty &&
         System.nanoTime() < deadline) Thread.sleep(20)
       val victim = executorPids(appId).headOption.getOrElse(0L)
       if (victim != 0L) {
-        stagesAtKill = tracker.getActiveStageIds.length
+        stagesAtKill = tracker.getActiveStageIds().length
         new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
         killedPid = victim
         killedAt = System.nanoTime()

@@ -78,7 +78,8 @@ object QueryTime {
   def contentChecksum(df: org.apache.spark.sql.DataFrame): String = {
     import org.apache.spark.sql.functions._
     val h = df
-      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .select(xxhash64(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(df.columns.map(col)): _*).as("h"))
       .agg(expr("bit_xor(h)"), expr("sum(cast(h AS DECIMAL(38,0)))"),
         count(lit(1)))
       .head()

@@ -34,7 +34,7 @@ object OmicsReader {
     * joins (j3) instead of failing (ADVICE r10). */
   private[graft] def withRowIdx(df: DataFrame, name: String): DataFrame = {
     val schema = df.schema.add(name, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -67,7 +67,8 @@ object OmicsReader {
     val featureNames = indexed
       .select(col("feature_idx"), col(cols.head).as("feature_name"))
 
-    val valueCols = array(cols.tail.map(c => col(c).cast("double")): _*)
+    val valueCols = array(scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(cols.tail.map(c => col(c).cast("double"))): _*)
     val long = indexed.select(col("feature_idx"),
       posexplode(valueCols).as(Seq("sample_idx", "value")))
 

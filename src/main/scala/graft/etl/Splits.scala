@@ -51,7 +51,7 @@ object Splits {
   def kFoldColumn(df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame = {
     val sorted = df.orderBy(seededOrder(keyCol, seed): _*)
     val schema = sorted.schema.add("fold", IntegerType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i % k).toInt)
     }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -48,7 +48,7 @@ object ClusteringMetrics {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(c => (c._1, c._2))
-    agreementFromCells(cells)
+    agreementFromCells(cells.toIndexedSeq)
   }
 
   /** Pure-arithmetic finish over contingency cells (label, pred, cnt). */

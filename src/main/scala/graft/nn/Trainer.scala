@@ -85,11 +85,15 @@ object Trainer {
     val losses = new scala.collection.mutable.ArrayBuffer[Double]
 
     for (epoch <- 0 until cfg.epochs) {
-      // epoch-seeded global shuffle; batch b == partition b
+      // epoch-seeded global shuffle; batch b == partition b.
+      // productHash is deprecated in favor of caseClassHash, which
+      // mixes in the class name and CHANGES the hash values — this
+      // hash IS the seeded shuffle order every trained model and
+      // quality log depends on, so it stays pinned.
       val epochRdd = base
         .sortBy { case (i, _) =>
-          scala.util.hashing.MurmurHash3.productHash(
-            (i, epoch.toLong, cfg.seed))
+          (scala.util.hashing.MurmurHash3.productHash(
+            (i, epoch.toLong, cfg.seed)): @annotation.nowarn("cat=deprecation"))
         }
         .zipWithIndex()
         .map { case ((_, row), rank) =>
