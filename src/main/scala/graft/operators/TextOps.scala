@@ -858,11 +858,12 @@ object TextOps {
     // short-doc fallback (whole text) the oracle mirrors exactly.
     QueryDef(
       "x15_top_bigrams",
-      (s, d) => T.documents(s, d)
-        // staged projection: tokenize once, THEN shingle — the n-gram
-        // expression references the token array many times and an
-        // inlined split would re-tokenize per reference
-        .select(tokens(col("text")).as("t"))
+      // reads the shared token fixture (r11): bigram mining re-walks
+      // the same token frame x21/x23/x6/x8 already pay for once per
+      // dataset — and the n-gram expression references the token array
+      // many times, so the fixture also plays the staged-projection
+      // role an inlined split would defeat
+      (s, d) => cachedTokens(s, d)
         .select(explode(shingles(col("t"), n = 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(20),
@@ -1203,8 +1204,10 @@ object TextOps {
     QueryDef(
       "x18_bm25",
       (s, d) => {
-        val docsT = T.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
+        // shared token fixture (r11): docsT is walked TWICE below (the
+        // doc-length frame and the term-frequency explode) — unpersisted
+        // it re-tokenized the corpus per walk
+        val docsT = cachedTokens(s, d)
         val dls = docsT.select(col("doc_id"), size(col("t")).as("dl"))
         val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
         val tf = docsT
