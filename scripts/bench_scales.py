@@ -87,6 +87,17 @@ def main(paths):
               else '## Flagged queries: none — no query grows '
                    'super-linearly in sf across the measured decade.']
     out = '\n'.join(lines) + '\n'
+    # Preserve the hand-written narrative below the generated block
+    # (blow-up decades, round updates): everything from the first
+    # "## Beyond sf0.1" heading on survives a regeneration. The r11
+    # regeneration silently dropped ~480 such lines — never again.
+    try:
+        old = open('BENCH_SCALES.md').read()
+        i = min(j for m in ('## Bench protocol', '## Beyond sf0.1')
+                if (j := old.find(m)) >= 0)
+        out += '\n' + old[i:]
+    except (FileNotFoundError, ValueError):
+        pass
     with open('BENCH_SCALES.md', 'w') as f:
         f.write(out)
     print(out)
