@@ -140,6 +140,10 @@ class PlanSpec extends SparkSpec {
     val p = planOf("x15_top_bigrams")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count"), p)
+    // reads the shared token fixture (r11): no InMemory scan in the
+    // plan means the corpus is being re-tokenized per execution again
+    // (split() itself still prints inside the cache's build lineage)
+    assert(p.contains("InMemoryTableScan"), p)
   }
 
   it("x17_contamination joins by shingle hash (no nested loop, partial agg)") {
@@ -171,6 +175,9 @@ class PlanSpec extends SparkSpec {
     val p = planOf("x18_bm25")
     assert(p.contains("Broadcast"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    // both walks (doc-length frame, term-frequency explode) must read
+    // the shared token fixture (r11) — x18 used to tokenize TWICE
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
   }
 
   it("x23_dup_spans joins by span hash (never all-pairs, partial agg)") {
