@@ -105,10 +105,11 @@ object Bench {
 
   /** Queries whose steady-state timing reads a pay-once persisted
    * fixture (built in the untimed pre-pass): the bucketed table layout
-   * (j6/j7), the shingle / span-hash / simhash-band / verified-pair
-   * frames (x6 x8 x13 x16 x17 x23 x29), the persisted LSH signature
-   * frame (x11 x26 y4), and the fitted IVF centroids / PQ codebooks
-   * (y5 y6 y7). Their numbers are cached-artifact-read + query work —
+   * (j6/j7), the root token frame and the shingle / span-hash /
+   * simhash-band / verified-pair frames derived from it
+   * (x6 x8 x13 x15 x16 x17 x18 x21 x23 x29), the persisted LSH
+   * signature frame (x11 x26 y4), and the fitted IVF centroids / PQ
+   * codebooks (y5 y6 y7). Their numbers are cached-artifact-read + query work —
    * deliberate (at 100 TB those artifacts amortize; the steady-state
    * number is the one that scales); every other query's timing is
    * fixture-free. Emitted as `"fixture_backed"` in the full-precision
