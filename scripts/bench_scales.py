@@ -93,11 +93,20 @@ def main(paths):
     # regeneration silently dropped ~480 such lines — never again.
     try:
         old = open('BENCH_SCALES.md').read()
-        i = min(j for m in ('## Bench protocol', '## Beyond sf0.1')
-                if (j := old.find(m)) >= 0)
-        out += '\n' + old[i:]
-    except (FileNotFoundError, ValueError):
-        pass
+    except FileNotFoundError:
+        old = None  # first generation: nothing to preserve
+    if old is not None:
+        try:
+            i = min(j for m in ('## Bench protocol', '## Beyond sf0.1')
+                    if (j := old.find(m)) >= 0)
+            out += '\n' + old[i:]
+        except ValueError:
+            # The file exists but neither marker heading was found —
+            # regenerating now would silently drop the whole narrative
+            # (the exact r11 incident). Fail instead of discarding.
+            sys.exit('BENCH_SCALES.md exists but has no narrative marker '
+                     "('## Bench protocol' / '## Beyond sf0.1') — refusing "
+                     'to regenerate over it; restore or rename the heading.')
     with open('BENCH_SCALES.md', 'w') as f:
         f.write(out)
     print(out)

@@ -85,7 +85,10 @@ object BreadthTrials {
           model, trained.params, trained.stats)
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      println(s"[btrial] t=$t losses=${losses.mkString(",")} " +
+      // cv recorded per line so BreadthCombine can refuse a mismatched
+      // replay (ADVICE r11: a cv=5 wave combined without BREADTH_CV
+      // set would silently replay cv=3 over 5-fold vectors)
+      println(s"[btrial] t=$t cv=$cv losses=${losses.mkString(",")} " +
         f"secs=$secs%.0f")
     }
     spark.stop()
@@ -117,10 +120,22 @@ object BreadthCombine {
     val seed = sys.env.getOrElse("BREADTH_SEED", "42").toLong
     val cv = sys.env.getOrElse("BREADTH_CV", "3").toInt
 
-    val rx = """t=(\d+) losses=([0-9eE+\-.,NaN]+)""".r.unanchored
+    // `cv=` is optional for pre-r12 loss files; when present it must
+    // match BREADTH_CV, and every loss vector must have exactly cv
+    // folds — a cv=5 wave combined in a shell without BREADTH_CV set
+    // would otherwise silently replay cv=3 over 5-fold vectors and
+    // select a different best trial (ADVICE r11)
+    val rx = """t=(\d+) (?:cv=(\d+) )?losses=([0-9eE+\-.,NaN]+)""".r.unanchored
     val byTrial = scala.io.Source.fromFile(lossFile).getLines()
-      .collect { case rx(t, ls) =>
-        t.toInt -> ls.split(",").map(_.toDouble).toSeq }
+      .collect { case rx(t, cvTag, ls) =>
+        if (cvTag != null) require(cvTag.toInt == cv,
+          s"loss file trial $t was computed at cv=$cvTag but " +
+            s"BREADTH_CV=$cv — refusing a mismatched replay")
+        val v = ls.split(",").map(_.toDouble).toSeq
+        require(v.length == cv,
+          s"loss file trial $t has ${v.length} fold losses, expected " +
+            s"cv=$cv — set BREADTH_CV to the wave's fold count")
+        t.toInt -> v }
       .toMap
     val hypers = RandomSearch.hyperSequence(nTotal, seed)
 

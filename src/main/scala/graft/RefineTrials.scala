@@ -39,9 +39,13 @@ object RefineTrials {
   private val cv = 3
 
   private[graft] def readLosses(lossFile: String): Map[Int, Seq[Double]] = {
-    val rx = """t=(\d+) losses=([0-9eE+\-.,NaN]+)""".r.unanchored
+    // optional `cv=` tag (r12 BreadthTrials lines carry it; the refine
+    // path is fixed cv=3, so a tagged line must agree — ADVICE r11)
+    val rx = """t=(\d+) (?:cv=(\d+) )?losses=([0-9eE+\-.,NaN]+)""".r.unanchored
     scala.io.Source.fromFile(lossFile).getLines()
-      .collect { case rx(t, ls) =>
+      .collect { case rx(t, cvTag, ls) =>
+        if (cvTag != null) require(cvTag.toInt == cv,
+          s"loss file trial $t was computed at cv=$cvTag; refine is cv=$cv")
         t.toInt -> ls.split(",").map(_.toDouble).toSeq }
       .toMap
   }

@@ -176,8 +176,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     // both walks (doc-length frame, term-frequency explode) must read
-    // the shared token fixture (r11) — x18 used to tokenize TWICE
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // the shared token fixture (r11) — x18 used to tokenize TWICE.
+    // Structural count (ADVICE r11): collect the cached-relation nodes
+    // from the optimized logical plan instead of grepping the formatted
+    // physical string, which explain versions may dedup/collapse (and
+    // which AQE wraps before execution).
+    val cachedRels = SparkEntry.queries("x18_bm25")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+    assert(cachedRels.size >= 2,
+      s"expected both walks on the token fixture, got ${cachedRels.size}:\n$p")
   }
 
   it("x23_dup_spans joins by span hash (never all-pairs, partial agg)") {
