@@ -118,10 +118,15 @@ object Bench {
   private[graft] val FixtureBacked: Seq[String] = Seq(
     "j6_union_all", "j7_bucketed_join",
     "x6_minhash_dedup", "x8_ngram_jaccard", "x11_embed_neardup",
-    "x13_simhash_neardup", "x15_top_bigrams", "x16_dup_components",
+    "x13_simhash_neardup",
+    "x14_repetition", // r12: reads the token fixture explicitly (the
+    // cache manager already substituted it implicitly — audit finding)
+    "x15_top_bigrams", "x16_dup_components",
     "x17_contamination", "x18_bm25",
-    "x21_lm_xent", // x15/x18/x21 r11: read the shared token fixture
+    "x21_lm_xent", // x15/x21 r12: read the shared gram-count fixture
     "x23_dup_spans", "x26_semantic_components", "x29_curation_pipeline",
+    "x30_bloom_decontam", // r12 audit finding: reads the shingle
+    // fixture (plus the fitted Bloom) — was silently undeclared
     "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann")
 
   private[graft] def fixtureBackedJson: String =

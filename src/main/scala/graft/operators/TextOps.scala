@@ -867,8 +867,13 @@ object TextOps {
     // codegen'd pass, no shuffle except the final presentation sort.
     QueryDef(
       "x14_repetition",
-      (s, d) => T.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
+      // r12: reads the token fixture EXPLICITLY. The former inline
+      // tokenize projection was plan-identical to the fixture's build,
+      // so Spark's cache manager substituted the cached relation
+      // whenever the fixture was warm anyway (FixtureAuditSpec caught
+      // the implicit dependence) — naming it removes the order
+      // dependence and declares the cost honestly.
+      (s, d) => cachedTokens(s, d)
         .select(col("doc_id"),
           size(col("t")).cast("long").as("n_tokens"),
           size(array_distinct(col("t"))).cast("long").as("n_distinct"))
