@@ -127,6 +127,7 @@ object Bench {
     "x23_dup_spans", "x26_semantic_components", "x29_curation_pipeline",
     "x30_bloom_decontam", // r12 audit finding: reads the shingle
     // fixture (plus the fitted Bloom) — was silently undeclared
+    "x31_vocab_coverage", // r12: pure gram-count-fixture consumer
     "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann")
 
   private[graft] def fixtureBackedJson: String =

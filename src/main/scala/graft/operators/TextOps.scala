@@ -1150,6 +1150,55 @@ object TextOps {
               |                  AS DOUBLE) / count(*), 6) < 0.5
               |ORDER BY ex.doc_id""".stripMargin)),
 
+    // Vocabulary coverage curve (r12 over-delivery): for each mass
+    // threshold, the number of distinct unigrams (count-desc) needed to
+    // cover that fraction of total corpus token mass — the
+    // tokenizer-vocab-sizing query every BPE/WordPiece design starts
+    // from. Built ENTIRELY on the gram-count fixture: zero corpus work
+    // at query time; the global window runs over the VOCAB-sized count
+    // frame (sub-linear in corpus bytes — the one place a single-task
+    // window is the right plan, same argument as x22's level-2 window).
+    // Threshold hits are tie-order-proof: within a block of equal
+    // counts the running sum advances by the same c regardless of which
+    // gram sorts first, so min(rank | cum >= th·total) is identical
+    // under any collation — the engine and DuckDB cannot disagree.
+    QueryDef(
+      "x31_vocab_coverage",
+      (s, d) => {
+        val uni = cachedGramCounts(s, d).filter(col("gn") === 1)
+          .groupBy("gram").agg(sum("cnt").as("c"))
+        val w = Window.orderBy(col("c").desc, col("gram"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = uni
+          .withColumn("cum", sum("c").over(w))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("c").desc, col("gram"))))
+        val total = uni.agg(sum("c").cast("double").as("tot"))
+        val ths = s.range(1).select(explode(array(
+          lit(0.5), lit(0.75), lit(0.9), lit(0.95), lit(0.99))).as("threshold"))
+        ranked.crossJoin(broadcast(total)).crossJoin(broadcast(ths))
+          .filter(col("cum").cast("double") >= col("threshold") * col("tot"))
+          .groupBy("threshold").agg(min("rk").cast("long").as("vocab_size"))
+          .orderBy("threshold")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+              uni AS (SELECT w, count(*) AS c
+                      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+              tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM uni),
+              ranked AS (SELECT c,
+                           row_number() OVER (ORDER BY c DESC, w) AS rk,
+                           sum(c) OVER (ORDER BY c DESC, w
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                         FROM uni),
+              ths AS (SELECT unnest([0.5, 0.75, 0.9, 0.95, 0.99])
+                        AS threshold)
+              SELECT threshold, CAST(min(rk) AS BIGINT) AS vocab_size
+              FROM ranked, tot, ths
+              WHERE CAST(cum AS DOUBLE) >= threshold * tot
+              GROUP BY threshold ORDER BY threshold""")),
+
     // Quality-weighted importance sampling: band each doc by its
     // stopword-ratio quality signal (the x3 filter), then keep it iff a
     // seeded multiplicative hash of doc_id falls under the band's keep

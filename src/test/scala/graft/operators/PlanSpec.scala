@@ -178,6 +178,28 @@ class PlanSpec extends SparkSpec {
       s"expected three cached-fixture reads, got ${cachedRels.size}:\n$p")
   }
 
+  it("x31_vocab_coverage is a vocab-sized window over the gram fixture (no corpus work)") {
+    val q = graft.SparkEntry.queries("x31_vocab_coverage")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // zero query-time Generates beyond the 5-literal threshold explode;
+    // the corpus never appears (optimized plan: cached leaf only)
+    val gens = q.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.size <= 1, s"only the 5-row threshold explode allowed:\n$p")
+    val cachedRels = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedRels.nonEmpty, s"must read the gram-count fixture:\n$p")
+    // structural corpus-leak check (the formatted string prints the
+    // fixture's build lineage, which legitimately scans parquet)
+    val fileScans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(fileScans.isEmpty,
+      s"corpus scan leaked into the vocab query:\n$p")
+  }
+
   it("x17_contamination joins by shingle hash (no nested loop, partial agg)") {
     // the benchmark-overlap check must stay an equality join on the
     // shingle hash with map-side partial counts — a nested-loop
