@@ -128,7 +128,9 @@ object Bench {
     "x30_bloom_decontam", // r12 audit finding: reads the shingle
     // fixture (plus the fitted Bloom) — was silently undeclared
     "x31_vocab_coverage", // r12: pure gram-count-fixture consumer
-    "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann")
+    "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann",
+    "y8_semdedup") // r12: persisted cluster-assignment frame + fitted
+    // IVF centroids
 
   private[graft] def fixtureBackedJson: String =
     FixtureBacked.map(jstr)

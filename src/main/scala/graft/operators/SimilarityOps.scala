@@ -591,6 +591,134 @@ object SimilarityOps {
        |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
   }
 
+  /** SemDeDup similarity gate. The synthetic embeddings are
+    * near-orthogonal globally (x11 uses 0.25 for the same reason), and
+    * cluster-mates sit closer than the global population, so 0.25 keeps
+    * the within-cluster prune observable; a production corpus runs the
+    * same plan at ≈0.95+. */
+  val SemDedupTau = 0.25
+
+  /** The SemDeDup cluster-assignment frame `(vec_id, embedding, cell,
+    * ccos, rk, csz)`: nearest-centroid cell over the fit-once IVF
+    * quantizer, cosine to the OWN cell's centroid, the keep-priority
+    * rank (ccos ASC, vec_id — SemDeDup keeps the examples LEAST similar
+    * to their centroid), and the cell size. Both windows ride the one
+    * hash exchange on `cell` that the downstream pair join needs anyway. */
+  def semDedupRanked(emb: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val w = Window.partitionBy("cell")
+    emb.select(col("vec_id"), col("embedding"),
+        ivfCellExpr(col("embedding"), cents).as("cell"))
+      .withColumn("ccos", fastCosine(col("embedding"),
+        element_at(centLit, (col("cell") + lit(1L)).cast("int"))))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("ccos"), col("vec_id"))))
+      .withColumn("csz", count(lit(1)).over(w))
+  }
+
+  /** Per-dataset persisted assignment frame (MEMORY_AND_DISK): the y8
+    * pair join derives BOTH sides from it and the verdict projection
+    * reads it a third time — the materialize-the-cluster-table-once
+    * layout SemDeDup itself prescribes (one k-means pass per corpus
+    * snapshot, then all dedup work happens on the assignment table). */
+  def cachedSemDedupRanked(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate(s"semdedup:$d", {
+      semDedupRanked(checkedEmbeddings(s, d), ivfCentroids(s, d))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** SemDeDup verdict frame `(vec_id, cell, centroid_sim, kept)` over a
+    * prepared assignment frame — the cluster-scoped semantic-dedup rule
+    * of Abbas et al. 2023 (arXiv:2303.09540): within a k-means cell,
+    * rank members by cosine-to-centroid ASC (keep the LEAST
+    * centroid-similar representative of every duplicate group), and
+    * drop a member iff some earlier-ranked cell-mate clears the `tau`
+    * cosine gate — the paper's upper-triangular pairwise rule.
+    *
+    * SKEW GUARD (`cap` + `chainK`, the y4 chain degrade — NOT x26's
+    * hub star, because an over-cap k-means CELL is not necessarily a
+    * near-dup pile: once k saturates [[MaxIvfCells]], healthy cells
+    * outgrow any cap with genuinely DIVERSE members, where a star onto
+    * rank-1 would silently under-drop). A cell at or under `cap`
+    * members keeps the exact triangular pair join, scored INSIDE the
+    * cell join where the exchange already co-locates both vectors —
+    * never gathered. An over-cap cell degrades to the BANDED triangle:
+    * each member checks only its `chainK` rank-predecessors, fetched
+    * via window lag over the (ccos, vec_id) sort the ranking already
+    * paid — zero extra exchange, O(m·chainK) work. A duplicate group's
+    * members have near-identical ccos and therefore CONTIGUOUS ranks,
+    * so every non-first member finds a group-mate among its immediate
+    * predecessors and the kept set matches the full triangle
+    * (SemDedupSpec pins banded ≡ exact on a dominant-pile fixture);
+    * only a dup PAIR separated in rank by >chainK interleaving members
+    * of near-identical centroid-cosine could diverge — the same
+    * measure-zero corner as x26's cosine-diverse bucket. */
+  def semDedupVerdicts(ranked: DataFrame, tau: Double = SemDedupTau,
+      cap: Int = 256, chainK: Int = 8): DataFrame = {
+    val lhs = ranked.filter(col("csz") <= cap)
+      .select(col("cell"), col("vec_id"), col("embedding").as("e_a"),
+        col("rk"))
+    val rhs = ranked.filter(col("csz") <= cap)
+      .select(col("cell"), col("embedding").as("e_b"),
+        col("rk").as("nrk"))
+    val smallDropped = lhs.join(rhs, Seq("cell"))
+      .filter(col("nrk") < col("rk"))
+      .filter(fastCosine(col("e_a"), col("e_b")) > lit(tau))
+      .select(col("vec_id"))
+    // over-cap arm: csz is cell-constant, so the filter keeps WHOLE
+    // cells and lag ranks stay complete within every retained cell
+    val wOrd = Window.partitionBy("cell")
+      .orderBy(col("ccos"), col("vec_id"))
+    val bandHit = (1 to chainK).map { j =>
+      coalesce(fastCosine(col("embedding"),
+        lag(col("embedding"), j).over(wOrd)) > lit(tau), lit(false))
+    }.reduce(_ || _)
+    val bigDropped = ranked.filter(col("csz") > cap)
+      .withColumn("hit", bandHit)
+      .filter(col("hit"))
+      .select(col("vec_id"))
+    val dropped = smallDropped.union(bigDropped).distinct()
+    ranked.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("ccos"), 6).as("centroid_sim"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** y8's oracle: the fitted centroids are plan-time constants — inline
+    * them and replay assignment, centroid cosine, the (ccos, vec_id)
+    * keep-priority ranking, the capped triangular/star pair rule, and
+    * the kept verdict in SQL. Cosines are the bit-stable sequential
+    * folds both engines share (y1/y5-proven), so the rank ORDER BY and
+    * the `> tau` gate cannot disagree. */
+  private[operators] def semDedupOracleSql(s: SparkSession,
+      d: String): String = {
+    val cents = ivfCentroids(s, d)
+    s"""WITH cent AS (SELECT ${matSql(cents)} AS c),
+       |${cellsCteSql(cents.length, cents.head.length)},
+       |asg AS (SELECT c.nid AS vec_id, c.cell,
+       |          ${cosineSql("e.embedding", "cent.c[c.cell + 1]")} AS ccos
+       |        FROM cells c JOIN embeddings e ON e.vec_id = c.nid, cent),
+       |rkd AS (SELECT vec_id, cell, ccos,
+       |          row_number() OVER (PARTITION BY cell
+       |            ORDER BY ccos, vec_id) AS rk,
+       |          count(*) OVER (PARTITION BY cell) AS csz
+       |        FROM asg),
+       |dropped AS (SELECT DISTINCT a.vec_id
+       |            FROM rkd a JOIN rkd b ON a.cell = b.cell
+       |              AND b.rk < a.rk
+       |              AND (a.csz <= 256 OR b.rk >= a.rk - 8)
+       |            JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |            JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |            WHERE ${cosineSql("ea.embedding", "eb.embedding")}
+       |                  > $SemDedupTau)
+       |SELECT r.vec_id, r.cell, round(r.ccos, 6) AS centroid_sim,
+       |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS kept
+       |FROM rkd r LEFT JOIN dropped dr ON dr.vec_id = r.vec_id
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 against a single query vector (vec_id=0).
@@ -842,6 +970,24 @@ object SimilarityOps {
               |               ORDER BY cos_sim DESC, nid) AS rk
               |           FROM scored)
               |SELECT qid, nid, cos_sim FROM ranked WHERE rk <= 3
-              |ORDER BY qid, cos_sim DESC, nid""".stripMargin))
+              |ORDER BY qid, cos_sim DESC, nid""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    // semantic dedup — k-means cells (the fit-once IVF quantizer shared
+    // with y5/y7), within-cell pairwise cosine over tau, keep the
+    // least-centroid-similar representative of every duplicate group.
+    // Complements the LEXICAL dedup family (x6 MinHash / x7+x13 SimHash
+    // / x8 Jaccard) and the LSH-bucketed cosine pass (x11/x26): here
+    // candidate scope is the learned cluster, not a hash bucket, and
+    // the keep POLICY is the paper's centroid-distance rule rather than
+    // min-id. 100 TB shape: one k-means fit per corpus snapshot, the
+    // assignment table materialized once (cachedSemDedupRanked), the
+    // pair join equi-keyed on cell with the over-cap chain degrade —
+    // never all-pairs across cells, O(m·chainK) within an over-cap cell.
+    QueryDef(
+      "y8_semdedup",
+      (s, d) => semDedupVerdicts(cachedSemDedupRanked(s, d)),
+      None,
+      oracleGen = Some(semDedupOracleSql))
   )
 }

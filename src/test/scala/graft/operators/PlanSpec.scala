@@ -200,6 +200,25 @@ class PlanSpec extends SparkSpec {
       s"corpus scan leaked into the vocab query:\n$p")
   }
 
+  it("y8_semdedup equi-joins on cell and reads the persisted assignment frame") {
+    // the pair work must ride equality joins on the cell id (plus the
+    // window-lag chain arm) — an all-pairs cosine sweep is the O(n²)
+    // plan cluster scoping exists to avoid. BroadcastNestedLoopJoin
+    // appears ONLY if Spark loses the cell equi-key.
+    val q = graft.SparkEntry.queries("y8_semdedup")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    // all four walks (triangle lhs/rhs, chain arm, verdict projection)
+    // must read the ONE persisted assignment frame — a missing cached
+    // read means the scan+argmin+double-window build re-runs per walk
+    val cachedRels = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedRels.size >= 3,
+      s"expected the assignment-fixture reads, got ${cachedRels.size}:\n$p")
+  }
+
   it("x17_contamination joins by shingle hash (no nested loop, partial agg)") {
     // the benchmark-overlap check must stay an equality join on the
     // shingle hash with map-side partial counts — a nested-loop
