@@ -12,7 +12,7 @@ OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.la
 # targets (x16/x26) + the rule-driven stateful row (z16)
 Q="x9_fingerprint x12_bpe_tokens x16_dup_components x17_contamination \
 x21_lm_xent x26_semantic_components x30_bloom_decontam y4_lsh_ann \
-z12_audio_roundtrip z16_stream_session_window"
+y8_semdedup z12_audio_roundtrip z16_stream_session_window"
 
 run_fused() { # $1 dir $2 tag $3 xmx $4 shuffle
   echo "[cluster_probe] fused $2" >&2

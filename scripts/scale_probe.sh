@@ -19,7 +19,7 @@ x13_simhash_neardup x15_top_bigrams x16_dup_components x17_contamination \
 x18_bm25 x21_lm_xent x22_token_pack x23_dup_spans x25_quality_quantiles \
 x26_semantic_components x29_curation_pipeline x30_bloom_decontam \
 y1_cosine_topk y2_centroids y3_knn_join y4_lsh_ann y5_ivf_ann y6_pq_ann \
-y7_ivfpq_ann \
+y7_ivfpq_ann y8_semdedup \
 z3_events_hourly z4_stream_windowed z5_sessionize z6_asof_join \
 z7_range_join z8_stream_append z9_stream_sessions z10_session_window \
 z13_stream_join z14_json_props z15_stream_sessions_all \

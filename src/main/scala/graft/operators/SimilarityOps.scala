@@ -598,8 +598,37 @@ object SimilarityOps {
     * same plan at ≈0.95+. */
   val SemDedupTau = 0.25
 
+  /** SemDeDup's own quantizer geometry: k = min(max(8, ⌈n/256⌉), 4096)
+    * cells — k scales LINEARLY with the corpus so cells hold ~256
+    * members and the within-cell EXACT pairwise triangle stays the
+    * operating regime (this is the paper's own choice: SemDeDup sizes
+    * its k-means so clusters are small enough for the full pairwise
+    * sim matrix; contrast [[ivfCentroids]]' k = √n, which is a SEARCH
+    * trade — √n cells × √n probe work — and at blow-up scale produced
+    * √n-sized cells where the banded fallback measurably missed
+    * interleaved duplicate groups, see SemDedupProbe / BENCH_SCALES
+    * §r12). The 4096 ceiling is the same fit/assignment envelope as
+    * [[MaxIvfCells]]: past n ≈ 1 M the argmin cost pins at 4096·d per
+    * vector and cell occupancy grows again — the triangle stays exact
+    * until n ≈ 16.8 M (cap 4096), beyond which the banded fallback
+    * bounds the work and the production answer is a sampled/
+    * hierarchical fit at k ∝ n, which this box cannot probe honestly. */
+  def dedupCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    import graft.ml.Clustering
+    val e = checkedEmbeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("features"))
+    val n = cachedCount(s"emb:$d", e)
+    val k = math.min(math.max(8, math.ceil(n / 256.0).toInt), MaxIvfCells)
+    val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val model = Clustering.kmeansModelCached(s"sdd:$d:$k", e, k = k,
+      seed = 42, maxIter = 5, persistPath = Some(s"$warehouse/graft_sdd_" +
+        s"${graft.etl.ScaleUtils.dataTag(s"$d/embeddings.parquet")}_k$k"))
+    model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
   /** The SemDeDup cluster-assignment frame `(vec_id, embedding, cell,
-    * ccos, rk, csz)`: nearest-centroid cell over the fit-once IVF
+    * ccos, rk, csz)`: nearest-centroid cell over the fit-once dedup
     * quantizer, cosine to the OWN cell's centroid, the keep-priority
     * rank (ccos ASC, vec_id — SemDeDup keeps the examples LEAST similar
     * to their centroid), and the cell size. Both windows ride the one
@@ -623,7 +652,7 @@ object SimilarityOps {
     * snapshot, then all dedup work happens on the assignment table). */
   def cachedSemDedupRanked(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate(s"semdedup:$d", {
-      semDedupRanked(checkedEmbeddings(s, d), ivfCentroids(s, d))
+      semDedupRanked(checkedEmbeddings(s, d), dedupCentroids(s, d))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -635,26 +664,26 @@ object SimilarityOps {
     * drop a member iff some earlier-ranked cell-mate clears the `tau`
     * cosine gate — the paper's upper-triangular pairwise rule.
     *
-    * SKEW GUARD (`cap` + `chainK`, the y4 chain degrade — NOT x26's
-    * hub star, because an over-cap k-means CELL is not necessarily a
-    * near-dup pile: once k saturates [[MaxIvfCells]], healthy cells
-    * outgrow any cap with genuinely DIVERSE members, where a star onto
-    * rank-1 would silently under-drop). A cell at or under `cap`
-    * members keeps the exact triangular pair join, scored INSIDE the
-    * cell join where the exchange already co-locates both vectors —
-    * never gathered. An over-cap cell degrades to the BANDED triangle:
-    * each member checks only its `chainK` rank-predecessors, fetched
-    * via window lag over the (ccos, vec_id) sort the ranking already
-    * paid — zero extra exchange, O(m·chainK) work. A duplicate group's
-    * members have near-identical ccos and therefore CONTIGUOUS ranks,
-    * so every non-first member finds a group-mate among its immediate
-    * predecessors and the kept set matches the full triangle
-    * (SemDedupSpec pins banded ≡ exact on a dominant-pile fixture);
-    * only a dup PAIR separated in rank by >chainK interleaving members
-    * of near-identical centroid-cosine could diverge — the same
-    * measure-zero corner as x26's cosine-diverse bucket. */
+    * The EXACT triangular pair join is the operating regime: the dedup
+    * quantizer ([[dedupCentroids]]) sizes cells at ~256 members, so the
+    * within-cell triangle is O(n·256) total, scored INSIDE the cell
+    * join where the exchange already co-locates both vectors — never
+    * gathered. `cap` = 4096 is a LAST-RESORT bound, reachable only once
+    * the quantizer's k ceiling saturates (n > ~16.8 M vectors): an
+    * over-cap cell degrades to the banded triangle — each member
+    * checks its `chainK` rank-predecessors via window lag over the
+    * (ccos, vec_id) sort the ranking already paid, O(m·chainK), zero
+    * extra exchange. The band is exact on a PILE (mutual near-dups:
+    * any predecessor triggers — SemDedupSpec pins banded ≡ exact
+    * there) but MEASURABLY misses when distinct duplicate groups
+    * interleave in ccos order (SemDedupProbe quantified this on
+    * √n-sized cells before the k-rule fix: 793/2000 groups kept ≥2
+    * members vs 4 under the exact triangle — which is WHY the
+    * quantizer now keeps cells small instead of leaning on the band;
+    * past the ceiling the honest fix is a sampled/hierarchical fit at
+    * k ∝ n, not a cleverer band order). */
   def semDedupVerdicts(ranked: DataFrame, tau: Double = SemDedupTau,
-      cap: Int = 256, chainK: Int = 8): DataFrame = {
+      cap: Int = 4096, chainK: Int = 8): DataFrame = {
     val lhs = ranked.filter(col("csz") <= cap)
       .select(col("cell"), col("vec_id"), col("embedding").as("e_a"),
         col("rk"))
@@ -693,7 +722,7 @@ object SimilarityOps {
     * the `> tau` gate cannot disagree. */
   private[operators] def semDedupOracleSql(s: SparkSession,
       d: String): String = {
-    val cents = ivfCentroids(s, d)
+    val cents = dedupCentroids(s, d)
     s"""WITH cent AS (SELECT ${matSql(cents)} AS c),
        |${cellsCteSql(cents.length, cents.head.length)},
        |asg AS (SELECT c.nid AS vec_id, c.cell,
@@ -707,7 +736,7 @@ object SimilarityOps {
        |dropped AS (SELECT DISTINCT a.vec_id
        |            FROM rkd a JOIN rkd b ON a.cell = b.cell
        |              AND b.rk < a.rk
-       |              AND (a.csz <= 256 OR b.rk >= a.rk - 8)
+       |              AND (a.csz <= 4096 OR b.rk >= a.rk - 8)
        |            JOIN embeddings ea ON ea.vec_id = a.vec_id
        |            JOIN embeddings eb ON eb.vec_id = b.vec_id
        |            WHERE ${cosineSql("ea.embedding", "eb.embedding")}
@@ -973,17 +1002,20 @@ object SimilarityOps {
               |ORDER BY qid, cos_sim DESC, nid""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
-    // semantic dedup — k-means cells (the fit-once IVF quantizer shared
-    // with y5/y7), within-cell pairwise cosine over tau, keep the
-    // least-centroid-similar representative of every duplicate group.
-    // Complements the LEXICAL dedup family (x6 MinHash / x7+x13 SimHash
-    // / x8 Jaccard) and the LSH-bucketed cosine pass (x11/x26): here
-    // candidate scope is the learned cluster, not a hash bucket, and
-    // the keep POLICY is the paper's centroid-distance rule rather than
-    // min-id. 100 TB shape: one k-means fit per corpus snapshot, the
-    // assignment table materialized once (cachedSemDedupRanked), the
-    // pair join equi-keyed on cell with the over-cap chain degrade —
-    // never all-pairs across cells, O(m·chainK) within an over-cap cell.
+    // semantic dedup — k-means cells from a DEDUP-sized quantizer
+    // (k ≈ n/256 so the exact within-cell triangle is the operating
+    // regime, the paper's own sizing; y5's √n search quantizer measured
+    // 793/2000 missed groups under the banded fallback — SemDedupProbe),
+    // within-cell pairwise cosine over tau, keep the least-centroid-
+    // similar representative of every duplicate group. Complements the
+    // LEXICAL dedup family (x6 MinHash / x7+x13 SimHash / x8 Jaccard)
+    // and the LSH-bucketed cosine pass (x11/x26): here candidate scope
+    // is the learned cluster, not a hash bucket, and the keep POLICY is
+    // the paper's centroid-distance rule rather than min-id. 100 TB
+    // shape: one k-means fit per corpus snapshot, the assignment table
+    // materialized once (cachedSemDedupRanked), the pair join
+    // equi-keyed on cell — never all-pairs across cells, O(n·256)
+    // total triangle work.
     QueryDef(
       "y8_semdedup",
       (s, d) => semDedupVerdicts(cachedSemDedupRanked(s, d)),
