@@ -57,4 +57,21 @@ class SemDedupSpec extends SparkSpec {
     assert(banded == rank1 && banded.size == 4,
       s"expected the 4 rank-1 representatives, got $banded vs $rank1")
   }
+
+  it("y8 assigns over the DEDUP quantizer (k for ~256-member cells, " +
+      "not the sqrt(n) search geometry)") {
+    // Regression guard for the measured r12 recall failure: assigning
+    // over ivfCentroids' k = sqrt(n) produces sqrt(n)-sized cells whose
+    // banded fallback missed 793/2000 duplicate groups at x100
+    // (SemDedupProbe). dedupCentroids must keep the n/256 rule so the
+    // exact triangle stays the operating regime. At sf0.001 (n = 500)
+    // the two rules are distinguishable: dedup k = max(8, ceil(500/256))
+    // = 8 vs search k = ceil(sqrt(500)) = 23.
+    val d = "/root/testdata/sf0.001"
+    assert(SimilarityOps.dedupCentroids(spark, d).length == 8)
+    val cells = SimilarityOps.cachedSemDedupRanked(spark, d)
+      .select("cell").distinct().count()
+    assert(cells <= 8,
+      s"assignment frame uses $cells cells — not the dedup quantizer")
+  }
 }
