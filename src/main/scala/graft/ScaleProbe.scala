@@ -49,19 +49,30 @@ object ScaleProbe {
     * ~(1/2^20)^words, negligible even for one-word documents (mod 97 made
     * the no-cross-copy-dups claim merely probabilistic for short docs).
     */
-  private def saltWords(text: Column, k: Int): Column =
+  private def saltWords(text: Column, k: Column): Column =
     concat_ws(" ", transform(split(text, " "),
-      w => concat(w, lit("~"), pmod(xxhash64(w, lit(k)), lit(1 << 20)))))
+      w => concat(w, lit("~"), pmod(xxhash64(w, k), lit(1 << 20)))))
 
-  def blowUpDocuments(docs: DataFrame, factor: Int): DataFrame =
-    (0 until factor).map { k =>
-      if (k == 0) docs
-      else docs
-        .withColumn("text", saltWords(col("text"), k))
-        .withColumn("doc_id", col("doc_id") + lit(k * Stride))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select(docs.columns.map(col).toSeq: _*)
-    }.reduce(_.unionByName(_))
+  /** Copy fan-out as a crossJoin with `range(factor)` rather than a
+    * `factor`-way union: the union plan is a left-deep tree `factor`
+    * levels tall, which chokes analysis well before the r12 fourth-
+    * decade factor (10 000). Bit-compatible with the union form at any
+    * factor: the copy index reaches [[saltWords]] as the same INT value
+    * xxhash64 hashed before (`__k` is cast to int — a long would hash
+    * differently), k = 0 keeps the original text and n_chars, and ids
+    * shift by the same k·Stride. */
+  def blowUpDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    val ks = docs.sparkSession.range(0, factor)
+      .select(col("id").cast("int").as("__k"))
+    docs.crossJoin(ks)
+      .withColumn("text", when(col("__k") === 0, col("text"))
+        .otherwise(saltWords(col("text"), col("__k"))))
+      .withColumn("n_chars", when(col("__k") === 0, col("n_chars"))
+        .otherwise(length(col("text")).cast("long")))
+      .withColumn("doc_id",
+        col("doc_id") + col("__k").cast("long") * lit(Stride))
+      .select(docs.columns.map(col).toSeq: _*)
+  }
 
   def blowUpEmbeddings(emb: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
@@ -92,7 +103,16 @@ object ScaleProbe {
     val src = args(0)
     val dest = args(1)
     val factor = args(2).toInt
-    require(factor >= 1 && factor <= 1000, s"unreasonable factor $factor")
+    // optional 4th arg: comma-list of tables to write (default all).
+    // Factors past 1000 are documents-only: blowUpDocuments fans out
+    // via crossJoin (factor-proof), while the embeddings/events blow-ups
+    // still build factor-way unions — and the fourth-decade probes
+    // (r12) only need the text corpus.
+    val tables = if (args.length > 3) args(3).split(",").toSet
+                 else Set("documents", "embeddings", "events")
+    require(factor >= 1 && factor <= 10000, s"unreasonable factor $factor")
+    require(factor <= 1000 || tables == Set("documents"),
+      s"factor $factor > 1000 is documents-only (pass 'documents')")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,9 +128,12 @@ object ScaleProbe {
       println(s"[scaleprobe] $name x$factor -> $dest/$name.parquet")
     }
     val parts = math.min(256, math.max(cpus.toInt, factor / 4))
-    write(blowUpDocuments(Tables.documents(spark, src), factor), "documents", parts)
-    write(blowUpEmbeddings(Tables.embeddings(spark, src), factor), "embeddings", parts)
-    write(blowUpEvents(Tables.events(spark, src), factor), "events", parts)
+    if (tables("documents"))
+      write(blowUpDocuments(Tables.documents(spark, src), factor), "documents", parts)
+    if (tables("embeddings"))
+      write(blowUpEmbeddings(Tables.embeddings(spark, src), factor), "embeddings", parts)
+    if (tables("events"))
+      write(blowUpEvents(Tables.events(spark, src), factor), "events", parts)
     spark.stop()
   }
 }
