@@ -923,10 +923,16 @@ object TextOps {
     // the cheap LLM-token estimator next to the whitespace count (x2).
     QueryDef(
       "x12_bpe_tokens",
+      // r12: the regex formulation (size(regexp_extract_all(...))) was
+      // the fourth-decade table's per-row dominator — 27 min/pass at
+      // 50 M docs, all of it regex-engine walk + per-piece UTF8String
+      // allocation just to take a LENGTH. graft_bpe_pieces computes the
+      // same count as one native byte-classification pass (bit-parity
+      // spec-pinned in FunctionsSpec; the DuckDB oracle keeps the regex
+      // formulation as the independent cross-engine reference).
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
-          size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_pieces"))
+          graft.functions.BpePieceCount.pieces(col("text")).as("n_pieces"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))

@@ -240,6 +240,45 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("BpePieceCount native expression (x12)") {
+    it("matches size(regexp_extract_all) on the documents corpus") {
+      // the regex formulation x12 shipped through r12, kept as the
+      // independent reference (and still the DuckDB oracle's side)
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val rx = docs.select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val native = docs.select(col("doc_id"),
+          BpePieceCount.pieces(col("text")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(native == rx)
+    }
+
+    it("survives codegen and matches java.util.regex on edge inputs") {
+      import spark.implicits._
+      val inputs = Seq("", "a", "aA9", "a1b", "3.14", "a-b  c",
+        "héllo wörld", "日本語テスト", "😀x 😀😀", "\tmixed\n42cats!!",
+        "~salt~123", "   ", "...", "ab")
+      val got = inputs.toDF("s")
+        .select(BpePieceCount.pieces(col("s")).as("n"))
+        .collect().map(_.getInt(0))
+      val p = java.util.regex.Pattern
+        .compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+      def ref(s: String): Int = {
+        val m = p.matcher(s); var n = 0
+        while (m.find()) n += 1
+        n
+      }
+      assert(got.toSeq == inputs.map(ref),
+        inputs.map(s => s"$s -> ref=${ref(s)}").mkString("; "))
+      // supplementary plane: one piece per CODE POINT, not per UTF-16
+      // unit — "😀x 😀😀" is other, letter, other, other = 4
+      assert(ref("😀x 😀😀") == 4)
+    }
+  }
+
   describe("PolyHash64 native expression") {
     it("matches the Scala reference fold on the documents corpus") {
       val docs = spark.read
