@@ -108,8 +108,14 @@ object ScaleProbe {
     // via crossJoin (factor-proof), while the embeddings/events blow-ups
     // still build factor-way unions — and the fourth-decade probes
     // (r12) only need the text corpus.
-    val tables = if (args.length > 3) args(3).split(",").toSet
+    val tables = if (args.length > 3) args(3).split(",").map(_.trim).toSet
                  else Set("documents", "embeddings", "events")
+    // a typo'd table name would silently write nothing and downstream
+    // probes would fail much later on the missing parquet (ADVICE r12)
+    require(tables.nonEmpty &&
+      tables.subsetOf(Set("documents", "embeddings", "events")),
+      s"unknown table(s) ${tables.mkString(",")}: expected a comma-list " +
+      "drawn from documents,embeddings,events")
     require(factor >= 1 && factor <= 10000, s"unreasonable factor $factor")
     require(factor <= 1000 || tables == Set("documents"),
       s"factor $factor > 1000 is documents-only (pass 'documents')")

@@ -34,7 +34,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus contains — the same Java-vs-RE2 envelope the regex
   * formulation itself relied on to pass the DuckDB oracle).
   * FunctionsSpec pins bit-parity against `size(regexp_extract_all)`
-  * on the corpus and on adversarial edge inputs.
+  * on the corpus and on adversarial edge inputs, and a ScalaCheck
+  * property fuzzes arbitrary UTF-8 (incl. supplementary planes and
+  * control bytes) against the regex formulation.
+  *
+  * MALFORMED-UTF-8 caveat (ADVICE r12): the parity contract assumes
+  * well-formed UTF-8 — `UTF8String` carries raw bytes, and a stray
+  * continuation byte (0x80–0xBF with no leading byte) is SKIPPED here,
+  * while any path that first decodes to java.lang.String would see
+  * U+FFFD per stray byte and count it as a piece. Corrupt (non-UTF-8)
+  * parquet data can therefore diverge from a decode-first engine.
+  * This is the documented envelope, not a bug: the regex formulation
+  * this expression replaced read the same UTF8String bytes through
+  * Spark's own regex path (which decodes lazily per code point and has
+  * its own undefined behavior on malformed bytes), and the DuckDB
+  * oracle rejects invalid UTF-8 at ingest — so no oracle-checkable
+  * input can reach the divergent case.
   */
 case class BpePieceCount(child: Expression) extends UnaryExpression {
 

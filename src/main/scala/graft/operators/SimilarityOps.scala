@@ -598,6 +598,13 @@ object SimilarityOps {
     * same plan at ≈0.95+. */
   val SemDedupTau = 0.25
 
+  /** Last-resort within-cell pair cap / chain width shared by
+    * [[semDedupVerdicts]]' defaults AND the y8 oracle SQL — hoisted so a
+    * default change cannot silently diverge the two into an opaque hash
+    * mismatch (ADVICE r12). */
+  val SemDedupPairCap = 4096
+  val SemDedupChainK = 8
+
   /** SemDeDup's own quantizer geometry: k = min(max(8, ⌈n/256⌉), 4096)
     * cells — k scales LINEARLY with the corpus so cells hold ~256
     * members and the within-cell EXACT pairwise triangle stays the
@@ -683,7 +690,7 @@ object SimilarityOps {
     * past the ceiling the honest fix is a sampled/hierarchical fit at
     * k ∝ n, not a cleverer band order). */
   def semDedupVerdicts(ranked: DataFrame, tau: Double = SemDedupTau,
-      cap: Int = 4096, chainK: Int = 8): DataFrame = {
+      cap: Int = SemDedupPairCap, chainK: Int = SemDedupChainK): DataFrame = {
     val lhs = ranked.filter(col("csz") <= cap)
       .select(col("cell"), col("vec_id"), col("embedding").as("e_a"),
         col("rk"))
@@ -736,7 +743,8 @@ object SimilarityOps {
        |dropped AS (SELECT DISTINCT a.vec_id
        |            FROM rkd a JOIN rkd b ON a.cell = b.cell
        |              AND b.rk < a.rk
-       |              AND (a.csz <= 4096 OR b.rk >= a.rk - 8)
+       |              AND (a.csz <= $SemDedupPairCap
+       |                   OR b.rk >= a.rk - $SemDedupChainK)
        |            JOIN embeddings ea ON ea.vec_id = a.vec_id
        |            JOIN embeddings eb ON eb.vec_id = b.vec_id
        |            WHERE ${cosineSql("ea.embedding", "eb.embedding")}
