@@ -605,33 +605,72 @@ object SimilarityOps {
   val SemDedupPairCap = 4096
   val SemDedupChainK = 8
 
-  /** SemDeDup's own quantizer geometry: k = min(max(8, ⌈n/256⌉), 4096)
-    * cells — k scales LINEARLY with the corpus so cells hold ~256
-    * members and the within-cell EXACT pairwise triangle stays the
-    * operating regime (this is the paper's own choice: SemDeDup sizes
-    * its k-means so clusters are small enough for the full pairwise
-    * sim matrix; contrast [[ivfCentroids]]' k = √n, which is a SEARCH
-    * trade — √n cells × √n probe work — and at blow-up scale produced
-    * √n-sized cells where the banded fallback measurably missed
-    * interleaved duplicate groups, see SemDedupProbe / BENCH_SCALES
-    * §r12). The 4096 ceiling is the same fit/assignment envelope as
-    * [[MaxIvfCells]]: past n ≈ 1 M the argmin cost pins at 4096·d per
-    * vector and cell occupancy grows again — the triangle stays exact
-    * until n ≈ 16.8 M (cap 4096), beyond which the banded fallback
-    * bounds the work and the production answer is a sampled/
-    * hierarchical fit at k ∝ n, which this box cannot probe honestly. */
+  /** SemDeDup's target cell occupancy and the k rule it induces:
+    * k = max(8, ⌈n/256⌉) scales LINEARLY with the corpus so cells hold
+    * ~256 members and the within-cell EXACT pairwise triangle stays the
+    * operating regime (the paper's own choice: SemDeDup sizes its
+    * k-means so clusters are small enough for the full pairwise sim
+    * matrix; contrast [[ivfCentroids]]' k = √n, a SEARCH trade that at
+    * blow-up scale produced √n-sized cells where the banded fallback
+    * measurably missed interleaved duplicate groups — SemDedupProbe /
+    * BENCH_SCALES §r12). */
+  def dedupKTotal(n: Long): Int = math.max(8, math.ceil(n / 256.0).toInt)
+
+  /** Flat-fit ceiling for the dedup quantizer. Below it the fit is the
+    * full-corpus KMeans of [[dedupCentroids]] (k·d flat argmin — fine
+    * while k is small); above it [[scaledDedupQuantizer]]'s sampled
+    * two-level fit takes over with NO ceiling on total cell count
+    * (r12's one declared scale gap, closed r13). Overridable via
+    * `-Dgraft.semdedup.quantCap` so the blow-up probes can FORCE the
+    * over-ceiling regime at corpus sizes this box can hold
+    * (SemDedupProbe runs both arms at a forced-low cap and measures
+    * the banded arm's duplicate misses against the scaled fit's). */
+  def dedupQuantCap: Int =
+    sys.props.get("graft.semdedup.quantCap").map(_.toInt)
+      .getOrElse(MaxIvfCells)
+
+  /** Probe hook: `-Dgraft.semdedup.scaledFit=false` reproduces the
+    * pre-r13 ceiling behavior (flat fit pinned AT the cap, cells
+    * regrow, the verdict pair join degrades to its banded arm) — the
+    * measured-loss baseline the sampled fit is judged against. */
+  def dedupScaledFit: Boolean =
+    sys.props.get("graft.semdedup.scaledFit").forall(_.toBoolean)
+
+  /** Flat dedup quantizer (k ≤ [[dedupQuantCap]]): full-corpus seeded
+    * KMeans at k = [[dedupKTotal]] capped to the ceiling — the
+    * oracle-replayable path every driver-scale corpus takes (k is 8 at
+    * sf0.01; the literal centroid matrix in y8's oracle comes from
+    * here). */
   def dedupCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
     import graft.ml.Clustering
     val e = checkedEmbeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("features"))
     val n = cachedCount(s"emb:$d", e)
-    val k = math.min(math.max(8, math.ceil(n / 256.0).toInt), MaxIvfCells)
+    val k = math.min(dedupKTotal(n), dedupQuantCap)
     val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val model = Clustering.kmeansModelCached(s"sdd:$d:$k", e, k = k,
       seed = 42, maxIter = 5, persistPath = Some(s"$warehouse/graft_sdd_" +
         s"${graft.etl.ScaleUtils.dataTag(s"$d/embeddings.parquet")}_k$k"))
     model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
+  /** Scaled dedup quantizer (k > [[dedupQuantCap]]): the sampled
+    * two-level fit at k = [[dedupKTotal]] with no ceiling —
+    * [[graft.ml.Quantizer]] holds the fit (bounded hash samples,
+    * distributed per-cell sub-fits) and the scale arithmetic; the
+    * assignment kernel is [[graft.functions.TwoLevelNearestCell]]
+    * ((k1+k2)·d ≈ 2√k·d per vector). Fit-once per corpus snapshot,
+    * warehouse-persisted like the flat model. */
+  def scaledDedupQuantizer(s: SparkSession, d: String): graft.ml.Quantizer.TwoLevel = {
+    val e = checkedEmbeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("features"))
+    val n = cachedCount(s"emb:$d", e)
+    val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.ml.Quantizer.fitTwoLevelCached(s"sdd2l:$d", e, n, dedupKTotal(n),
+      persistPath = Some(s"$warehouse/graft_sdd2l_" +
+        graft.etl.ScaleUtils.dataTag(s"$d/embeddings.parquet")))
   }
 
   /** The SemDeDup cluster-assignment frame `(vec_id, embedding, cell,
@@ -652,15 +691,47 @@ object SimilarityOps {
       .withColumn("csz", count(lit(1)).over(w))
   }
 
+  /** [[semDedupRanked]] over the two-level quantizer: assignment is the
+    * fused (k1+k2)·d two-stage argmin, ccos the addReferenceObj-backed
+    * [[graft.functions.CentroidCosine]] (the flat path's literal
+    * centroid tree would be k·d Literal nodes — a plan-width explosion
+    * at k ∝ n). Same window shapes on the same `cell` exchange; the
+    * frame is drop-in for [[semDedupVerdicts]]. */
+  def semDedupRankedScaled(emb: DataFrame,
+      q: graft.ml.Quantizer.TwoLevel): DataFrame = {
+    val w = Window.partitionBy("cell")
+    emb.select(col("vec_id"), col("embedding"),
+        graft.functions.TwoLevelNearestCell
+          .two_level_cell(col("embedding"), q.coarse, q.sub).as("cell"))
+      .withColumn("ccos", graft.functions.CentroidCosine
+        .centroid_cosine(col("embedding"), col("cell"), q.sub))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("ccos"), col("vec_id"))))
+      .withColumn("csz", count(lit(1)).over(w))
+  }
+
   /** Per-dataset persisted assignment frame (MEMORY_AND_DISK): the y8
     * pair join derives BOTH sides from it and the verdict projection
     * reads it a third time — the materialize-the-cluster-table-once
     * layout SemDeDup itself prescribes (one k-means pass per corpus
-    * snapshot, then all dedup work happens on the assignment table). */
+    * snapshot, then all dedup work happens on the assignment table).
+    *
+    * Quantizer routing: k = [[dedupKTotal]] within [[dedupQuantCap]]
+    * takes the flat oracle-replayable fit (every driver-scale corpus);
+    * past the cap the sampled two-level fit keeps k ∝ n — unless the
+    * `scaledFit=false` probe arm pins the old capped behavior. The
+    * cache key carries the routing knobs so probe arms in one JVM
+    * never read each other's frames. */
   def cachedSemDedupRanked(s: SparkSession, d: String): DataFrame =
-    sigCache.getOrElseUpdate(s"semdedup:$d", {
-      semDedupRanked(checkedEmbeddings(s, d), dedupCentroids(s, d))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sigCache.getOrElseUpdate(
+      s"semdedup:$d:$dedupQuantCap:$dedupScaledFit", {
+      val e = checkedEmbeddings(s, d)
+      val n = cachedCount(s"emb:$d", e.select(col("vec_id")))
+      val ranked =
+        if (dedupKTotal(n) <= dedupQuantCap || !dedupScaledFit)
+          semDedupRanked(e, dedupCentroids(s, d))
+        else semDedupRankedScaled(e, scaledDedupQuantizer(s, d))
+      ranked.persist(StorageLevel.MEMORY_AND_DISK)
     })
 
   /** SemDeDup verdict frame `(vec_id, cell, centroid_sim, kept)` over a
