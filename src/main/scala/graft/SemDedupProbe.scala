@@ -25,13 +25,47 @@ import graft.operators.SimilarityOps
   *
   * Run: `sbt "runMain graft.SemDedupProbe /tmp/graft_probe_x100"`
   * (corpus from ScaleProbe). Findings → BENCH_SCALES.md §r12 y8.
+  *
+  * FORCED-REGIME mode (r13, VERDICT ask #1): a second argument forces
+  * the quantizer ceiling to `cap` cells and runs two arms —
+  *  - `banded-forced`: the pre-r13 ceiling behavior (flat fit pinned
+  *    AT the cap, cells regrow past the pair cap, the verdict join
+  *    degrades to its ±chainK band) — this box cannot hold the
+  *    n ≈ 16.8 M vectors where the REAL 4096 ceiling saturates, so
+  *    the probe recreates the regime by shrinking the ceiling until
+  *    today's blow-up corpora overflow it the same way;
+  *  - `sampled`: the two-level k ∝ n fit (no ceiling) over the SAME
+  *    corpus — cells return to ~256 members and the exact triangle is
+  *    the operating regime again.
+  * Same-cell multi-kept groups (`multi_kept_groups` minus
+  * `all_kept_in_distinct_cells`) are the banded arm's misses; the
+  * sampled arm must measure ZERO of them.
+  *
+  * Run: `sbt "runMain graft.SemDedupProbe /tmp/graft_probe_x1000 64"`
+  * → BENCH_SCALES.md §r13 quantizer ceiling.
   */
 object SemDedupProbe {
 
   private val Stride = 100_000_000L
 
+  /** Run `body` with the dedup-quantizer routing props pinned, restoring
+    * the previous values after (the assignment caches key on the props,
+    * so arms in one JVM never read each other's frames). */
+  private def withRouting[A](cap: Int, scaledFit: Boolean)(body: => A): A = {
+    val keys = Seq("graft.semdedup.quantCap", "graft.semdedup.scaledFit")
+    val prev = keys.map(k => k -> sys.props.get(k))
+    sys.props("graft.semdedup.quantCap") = cap.toString
+    sys.props("graft.semdedup.scaledFit") = scaledFit.toString
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => sys.props(k) = v
+      case (k, None) => sys.props.remove(k)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_probe_x100")
+    val forcedCap = args.lift(1).map(_.toInt)
     val spark = Sessions.builder("local[16]", "32")
       .appName("graft-semdedup-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,9 +93,21 @@ object SemDedupProbe {
         f"all_kept_in_distinct_cells=$splitOnly " +
         f"kept_frac=${keptN.toDouble / total}%.6f")
     }
-    stats("banded", SparkEntry.queries("y8_semdedup")(spark, dir))
-    stats("exact", SimilarityOps.semDedupVerdicts(
-      SimilarityOps.cachedSemDedupRanked(spark, dir), cap = Int.MaxValue))
+    forcedCap match {
+      case Some(cap) =>
+        withRouting(cap, scaledFit = false) {
+          stats(s"banded-forced-cap$cap",
+            SparkEntry.queries("y8_semdedup")(spark, dir))
+        }
+        withRouting(cap, scaledFit = true) {
+          stats(s"sampled-cap$cap",
+            SparkEntry.queries("y8_semdedup")(spark, dir))
+        }
+      case None =>
+        stats("banded", SparkEntry.queries("y8_semdedup")(spark, dir))
+        stats("exact", SimilarityOps.semDedupVerdicts(
+          SimilarityOps.cachedSemDedupRanked(spark, dir), cap = Int.MaxValue))
+    }
     spark.stop()
   }
 }
