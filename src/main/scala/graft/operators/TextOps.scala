@@ -323,7 +323,22 @@ object TextOps {
     * fallback shingle, x21 excludes the doc), `train` = doc_id%5≠0
     * (x21's count side; x15 counts the full corpus). The counted frame
     * is vocab-sized — orders of magnitude below the corpus — so the
-    * fixture's storage cost is the gram vocabulary, not the data. */
+    * fixture's storage cost is the gram vocabulary, not the data.
+    *
+    * `gh` = xxhash64(gn, gram) is the 8-byte PROBE KEY (r13, VERDICT
+    * ask #5): x21's scoring explode probes the count frames once per
+    * token position, and on STRING keys each probe pays UTF8String
+    * hashing + equality twice (unigram + bigram joins — the measured
+    * ×1000 dominator, PLANS_r12 x21). Joining on the precomputed
+    * 64-bit hash makes each probe an 8-byte compare; the string gram
+    * stays alongside for x15/x31's OUTPUT (their results are grams).
+    * Identity envelope: a 64-bit collision would merge two grams'
+    * counts — P(any collision) ≈ v²/2⁶⁵, ~3·10⁻⁶ at a 10 M-gram vocab
+    * — the same hash-identity envelope the dedup family (x4/x6
+    * minhash, x9 fingerprints) already stands on; the x21 DuckDB
+    * oracle stays on string keys as the independent cross-engine
+    * check, so a collision at verify scale would FAIL the gate, not
+    * hide. */
   def cachedGramCounts(spark: SparkSession, d: String): DataFrame =
     gramCountCache.getOrElseUpdate(d, {
       cachedTokens(spark, d)
@@ -338,6 +353,7 @@ object TextOps {
         .groupBy(col("g.gn").as("gn"), col("g.gram").as("gram"),
           col("short"), col("train"))
         .agg(count(lit(1)).as("cnt"))
+        .withColumn("gh", xxhash64(col("gn"), col("gram")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -1372,23 +1388,30 @@ object TextOps {
         val toksAll = cachedTokens(s, d).filter(size(col("t")) >= 2)
         val gc = cachedGramCounts(s, d)
           .filter(!col("short") && col("train"))
+        // r13 (VERDICT ask #5): the count frames key on the fixture's
+        // precomputed 8-byte gram hash, and the scoring explode emits
+        // hashes instead of strings — each of the two probes per token
+        // position becomes a long compare instead of UTF8String
+        // hashing + equality, and the explode's shuffle rows carry 16
+        // bytes of keys instead of two strings. The DuckDB oracle
+        // keeps string keys (independent identity check).
         val uni = gc.filter(col("gn") === 1)
-          .groupBy(col("gram").as("w")).agg(sum("cnt").as("cu"))
+          .groupBy(col("gh").as("w1h")).agg(sum("cnt").as("cu"))
         val vocab = uni.agg(count(lit(1)).as("v"))
         val bi = gc.filter(col("gn") === 2)
-          .groupBy(col("gram").as("bg")).agg(sum("cnt").as("cb"))
+          .groupBy(col("gh").as("bgh")).agg(sum("cnt").as("cb"))
         // staged projection: tokenize once, then one explode producing
-        // (w1, bigram) pairs — w1 keys the unigram denominator join
+        // (w1h, bgh) hash pairs — w1h keys the unigram denominator join
         val docBg = toksAll.select(col("doc_id"), explode(transform(
             sequence(lit(1), size(col("t")) - 1),
             i => struct(
-              element_at(col("t"), i).as("w1"),
-              concat(element_at(col("t"), i), lit(" "),
-                element_at(col("t"), i + 1)).as("bg")))).as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+              xxhash64(lit(1), element_at(col("t"), i)).as("w1h"),
+              xxhash64(lit(2), concat(element_at(col("t"), i), lit(" "),
+                element_at(col("t"), i + 1))).as("bgh")))).as("p"))
+          .select(col("doc_id"), col("p.w1h").as("w1h"), col("p.bgh").as("bgh"))
         docBg
-          .join(bi, Seq("bg"), "left")
-          .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+          .join(bi, Seq("bgh"), "left")
+          .join(uni, Seq("w1h"), "left")
           .crossJoin(broadcast(vocab))
           .select(col("doc_id"),
             round(log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
