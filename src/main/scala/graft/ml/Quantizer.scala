@@ -158,8 +158,15 @@ object Quantizer {
       .map(p => spark.read.parquet(p))
     val subRows: Array[(Int, Seq[Seq[Double]])] = loaded match {
       case Some(saved) =>
+        // normalize row-decoded collections to immutable Vectors —
+        // Row.getSeq materializes mutable.ArraySeq elements, which
+        // must be typed collection.Seq here (scala.Seq = immutable.Seq
+        // on 2.13 would insert a failing cast) and converted before
+        // the downstream array building assumes one element type
         saved.collect().map(r =>
-          (r.getInt(0), r.getSeq[Seq[Double]](1))).sortBy(_._1)
+          (r.getInt(0),
+            r.getSeq[scala.collection.Seq[Double]](1).map(_.toVector)
+              .toVector: Seq[Seq[Double]])).sortBy(_._1)
       case None =>
         import spark.implicits._
         val s2 = math.min(n, TrainPointsPerCentroid * k1.toLong * k2)
@@ -197,7 +204,8 @@ object Quantizer {
         full
     }
     val sub = subRows.flatMap { case (c1, cents) =>
-      val padded = cents ++ Seq.fill(k2 - cents.length)(coarse(c1))
+      val cl = cents.map(_.toVector)
+      val padded = cl ++ Seq.fill(k2 - cl.length)(coarse(c1).toVector)
       padded.take(k2)
     }.toSeq
     TwoLevel(coarse, sub, k1, k2)

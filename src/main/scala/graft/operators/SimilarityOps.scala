@@ -428,8 +428,18 @@ object SimilarityOps {
     * PQ residuals — the y6/y7 path — carry the rest). */
   val MaxIvfCells = 4096
 
+  /** Flat-fit ceiling for the IVF search quantizer — the search twin of
+    * [[dedupQuantCap]] (probe hook `-Dgraft.ivf.quantCap`). Past the
+    * ceiling the honest geometry is [[scaledIvfQuantizer]]'s two-level
+    * fit at k = ⌈√n⌉ uncapped: per-query scanned candidates stay at the
+    * nProbe·n/k = nProbe·√n envelope instead of growing linearly with
+    * n/cap, and assignment stays (k1+k2)·d. AnnScaleProbe measures both
+    * arms at a forced-low cap (BENCH_SCALES §r13). */
+  def ivfQuantCap: Int =
+    sys.props.get("graft.ivf.quantCap").map(_.toInt).getOrElse(MaxIvfCells)
+
   /** IVF coarse-quantizer geometry for dataset `d`:
-    * k = min(max(8, ⌈√n⌉), [[MaxIvfCells]]) cells, centroids from the
+    * k = min(max(8, ⌈√n⌉), [[ivfQuantCap]]) cells, centroids from the
     * fit-once (warehouse-persisted) seeded KMeans model, as a plain
     * matrix. The y5/y7 query bodies and their oracle generators share
     * EXACTLY this — the centroid numbers in the oracle's literals are
@@ -441,7 +451,7 @@ object SimilarityOps {
         transform(col("embedding"), x => x.cast("double")).as("features"))
     val n = cachedCount(s"emb:$d", e)
     val k = math.min(math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt),
-      MaxIvfCells)
+      ivfQuantCap)
     val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     // dataTag, not pathTag: the persisted model must go stale with the
     // data — blow-up probes rewrite the same /tmp dir, and a path-keyed
@@ -450,6 +460,31 @@ object SimilarityOps {
       seed = 42, maxIter = 5, persistPath = Some(s"$warehouse/graft_ivf_" +
         s"${graft.etl.ScaleUtils.dataTag(s"$d/embeddings.parquet")}_k$k"))
     model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
+  /** Scaled IVF quantizer (search side): the sampled two-level fit at
+    * k = ⌈√n⌉ with NO ceiling — same [[graft.ml.Quantizer]] machinery
+    * as the dedup path, search geometry instead of dedup geometry.
+    * Corpus assignment is [[graft.functions.TwoLevelNearestCell]]
+    * ((k1+k2)·d ≈ 2·n^¼·d per vector); query routing ranks the flat
+    * k-row SUB-centroid table driver-side (k = √n rows — ~32 K at
+    * n = 10⁹, trivially driver-resident) exactly like the flat path,
+    * so nProbe semantics carry over unchanged and only the ASSIGNMENT
+    * differs (hierarchical argmin vs flat argmin — boundary vectors
+    * can land one cell over; AnnScaleProbe measures the end-to-end
+    * recall cost of that approximation alongside the scan-volume win).
+    * y7 composes identically: the cell filter swaps in, PQ residual
+    * scoring is untouched. */
+  def scaledIvfQuantizer(s: SparkSession, d: String): graft.ml.Quantizer.TwoLevel = {
+    val e = checkedEmbeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("features"))
+    val n = cachedCount(s"emb:$d", e)
+    val kTotal = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.ml.Quantizer.fitTwoLevelCached(s"ivf2l:$d", e, n, kTotal,
+      persistPath = Some(s"$warehouse/graft_ivf2l_" +
+        graft.etl.ScaleUtils.dataTag(s"$d/embeddings.parquet")))
   }
 
   /** Per-row nearest-centroid cell over the plan-time centroid matrix:
