@@ -129,8 +129,9 @@ object Bench {
     // fixture (plus the fitted Bloom) — was silently undeclared
     "x31_vocab_coverage", // r12: pure gram-count-fixture consumer
     "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann",
-    "y8_semdedup") // r12: persisted cluster-assignment frame + fitted
+    "y8_semdedup", // r12: persisted cluster-assignment frame + fitted
     // IVF centroids
+    "y9_quantize_2l") // r13: fitted two-level quantizer (model cache)
 
   private[graft] def fixtureBackedJson: String =
     FixtureBacked.map(jstr)

@@ -862,7 +862,76 @@ object SimilarityOps {
        |ORDER BY r.vec_id""".stripMargin
   }
 
+  /** y9's oracle: the two-level fit's coarse/sub matrices are plan-time
+    * constants (fit-once, deterministic) — inline both and replay the
+    * HIERARCHICAL argmin (stage 1 over k1 coarse rows, stage 2 over the
+    * chosen cell's k2-row sub block, ties → lowest index at each
+    * stage — exactly [[graft.functions.TwoLevelNearestCell]]'s rule)
+    * plus the centroid cosine in SQL. Distances are the same sequential
+    * list_sum folds as [[cellsCteSql]]; the cosine is [[cosineSql]]'s
+    * y1-proven formulation, bit-matching [[graft.functions
+    * .CentroidCosine]]'s fused loop. */
+  private[operators] def twoLevelOracleSql(s: SparkSession,
+      d: String): String = {
+    val q = scaledDedupQuantizer(s, d)
+    val dEmb = EmbeddingDim
+    s"""WITH co AS (SELECT ${matSql(q.coarse)} AS c, ${matSql(q.sub)} AS s),
+       |d1 AS (SELECT e.vec_id, t.c1,
+       |         list_sum(list_transform(range(1, ${dEmb + 1}),
+       |           i -> (CAST(e.embedding[i] AS DOUBLE) - co.c[t.c1 + 1][i])
+       |              * (CAST(e.embedding[i] AS DOUBLE) - co.c[t.c1 + 1][i])))
+       |           AS d2
+       |       FROM embeddings e, range(0, ${q.k1}) t(c1), co),
+       |c1s AS (SELECT vec_id, c1 FROM d1
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY d2, c1) = 1),
+       |ds AS (SELECT e.vec_id, c1s.c1, t.c2,
+       |         list_sum(list_transform(range(1, ${dEmb + 1}),
+       |           i -> (CAST(e.embedding[i] AS DOUBLE)
+       |                   - co.s[c1s.c1 * ${q.k2} + t.c2 + 1][i])
+       |              * (CAST(e.embedding[i] AS DOUBLE)
+       |                   - co.s[c1s.c1 * ${q.k2} + t.c2 + 1][i])))
+       |           AS d2
+       |       FROM embeddings e JOIN c1s USING (vec_id),
+       |            range(0, ${q.k2}) t(c2), co),
+       |cells AS (SELECT vec_id, c1 * ${q.k2} + c2 AS cell FROM ds
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY d2, c2) = 1)
+       |SELECT e.vec_id, CAST(cells.cell AS BIGINT) AS cell,
+       |       round(${cosineSql("e.embedding", "co.s[cells.cell + 1]")}, 6)
+       |         AS centroid_sim
+       |FROM embeddings e JOIN cells USING (vec_id), co
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // The r13 two-level quantizer kernels under the DuckDB gate at
+    // driver scale: hierarchical cell assignment + cosine-to-own-
+    // centroid over the SAME deterministic sampled fit the scaled
+    // SemDeDup/IVF routing uses past the flat ceiling
+    // (scaledDedupQuantizer — fit-once per dataset, kTotal = ⌈n/256⌉,
+    // k1 = ⌈√kTotal⌉ coarse × k2 sub). At sf scales the fit is tiny
+    // (k = 9 at n = 500) but the KERNELS are the production ones —
+    // TwoLevelNearestCell's two-stage argmin and CentroidCosine's
+    // addReferenceObj matrix — so the oracle pins exactly what runs
+    // at a billion vectors.
+    QueryDef(
+      "y9_quantize_2l",
+      (s, d) => {
+        val q = scaledDedupQuantizer(s, d)
+        checkedEmbeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.TwoLevelNearestCell
+              .two_level_cell(col("embedding"), q.coarse, q.sub).as("cell"))
+          .select(col("vec_id"), col("cell"),
+            round(graft.functions.CentroidCosine
+              .centroid_cosine(col("embedding"), col("cell"), q.sub), 6)
+              .as("centroid_sim"))
+          .orderBy("vec_id")
+      },
+      None,
+      oracleGen = Some(twoLevelOracleSql)),
 
     // Brute-force cosine top-10 against a single query vector (vec_id=0).
     // The exact-ANN baseline: one broadcast of the query row, one corpus

@@ -31,7 +31,8 @@ class FixtureAuditSpec extends SparkSpec {
     "j7_bucketed_join" -> "bucketed on-disk tables (saveAsTable layout)",
     "y5_ivf_ann" -> "fitted IVF centroids (driver-side model cache)",
     "y6_pq_ann" -> "fitted PQ codebooks (driver-side model cache)",
-    "y7_ivfpq_ann" -> "fitted IVF centroids + PQ codebooks")
+    "y7_ivfpq_ann" -> "fitted IVF centroids + PQ codebooks",
+    "y9_quantize_2l" -> "fitted two-level quantizer (driver-side model cache)")
 
   /** FixtureBacked members that consume their cached fixture EAGERLY at
     * query-construction time (the union-find driver fast path collects
