@@ -518,6 +518,135 @@ object ExtensionOps {
         .select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type"),
       Some("""SELECT DISTINCT user_id, event_type FROM events
-              ORDER BY 1, 2"""))
+              ORDER BY 1, 2""")),
+
+    // Ordered funnel (view → click → purchase within 7 days): the
+    // canonical event-sequence operator (ClickHouse windowFunnel, Amplitude
+    // funnels). Semantics: t1 = user's earliest 'view'; t2 = earliest
+    // 'click' strictly after t1; t3 = earliest 'purchase' strictly after
+    // t2; step k counts users whose tk exists with tk − t1 ≤ 7 d. The
+    // greedy min-after-previous chain is computed as three whole-partition
+    // window mins over ONE hash shuffle on user_id (each min references
+    // the previous stage's column, constant within the partition — no
+    // sort, no join, no per-user event gather), then a per-user roll-up
+    // reusing the same partitioning and a 3-row stack. Scale shape: the
+    // single natural-key shuffle + O(1) state per user is the layout a
+    // 100 TB event log needs; nothing is ordered globally.
+    // All time arithmetic is exact integer micros (see readEvents).
+    QueryDef(
+      "z19_funnel",
+      (s, d) => {
+        val winUs = 7L * 86400 * 1000000
+        val e = EventStream.readEvents(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+        val w = Window.partitionBy("user_id")
+        val staged = e
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("us") > col("t1"),
+              col("us"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+              col("us"))).over(w))
+        val perUser = staged.groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        perUser.agg(
+            count(col("t1")).as("u1"),
+            count(when(col("t2").isNotNull &&
+              col("t2") - col("t1") <= winUs, 1)).as("u2"),
+            count(when(col("t3").isNotNull &&
+              col("t3") - col("t1") <= winUs, 1)).as("u3"))
+          .select(expr(
+            """stack(3, 1, 'view', u1, 2, 'click', u2, 3, 'purchase', u3)
+               as (step, event_type, users)"""), col("u1"))
+          .select(col("step"), col("event_type"), col("users"),
+            when(col("u1") === 0, lit(null))
+              .otherwise(round(col("users") / col("u1"), 4))
+              .as("pct_of_entry"))
+          .orderBy("step")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+                       event_type FROM events
+                     WHERE event_type IN ('view', 'click', 'purchase')),
+              a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                      OVER (PARTITION BY user_id) AS t1 FROM e),
+              b AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                        AND us > t1 THEN us END)
+                      OVER (PARTITION BY user_id) AS t2 FROM a),
+              c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                        AND us > t2 THEN us END)
+                      OVER (PARTITION BY user_id) AS t3 FROM b),
+              u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+                           max(t3) AS t3 FROM c GROUP BY 1),
+              k AS (SELECT count(t1) AS u1,
+                           count(CASE WHEN t2 IS NOT NULL
+                                       AND t2 - t1 <= 604800000000
+                                      THEN 1 END) AS u2,
+                           count(CASE WHEN t3 IS NOT NULL
+                                       AND t3 - t1 <= 604800000000
+                                      THEN 1 END) AS u3 FROM u)
+              SELECT step, event_type, users,
+                     CASE WHEN u1 = 0 THEN NULL
+                          ELSE round(users / u1, 4) END AS pct_of_entry
+              FROM (SELECT 1 AS step, 'view' AS event_type, u1 AS users, u1
+                      FROM k
+                    UNION ALL SELECT 2, 'click', u2, u1 FROM k
+                    UNION ALL SELECT 3, 'purchase', u3, u1 FROM k)
+              ORDER BY step""")),
+
+    // Weekly cohort retention: cohort = date of the user's first event;
+    // week_offset = whole weeks since that first event (rolling weeks
+    // anchored per user, exact integer-micros `div` — no calendar/tz
+    // boundary semantics to disagree on across engines); a user is
+    // retained in week k if any event lands there. Layout: the same
+    // single user_id window shuffle as z5/z19 stamps first_us, then one
+    // keyed (cohort, week) exact distinct-count — Spark plans it as the
+    // standard two-level expand/partial-agg, no driver state — and the
+    // week-0 denominator comes from a window over the tiny post-agg
+    // frame (≤ cohorts × weeks rows), not a re-scan. Scale shape: both
+    // shuffles are on natural keys; the corpus is touched exactly once.
+    QueryDef(
+      "z20_retention",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id")
+        val marked = e.withColumn("first_us", min("us").over(w))
+          .select(col("user_id"),
+            to_date(timestamp_micros(col("first_us"))).as("cohort"),
+            expr("(us - first_us) div 604800000000").as("week_offset"))
+        val act = marked.groupBy("cohort", "week_offset")
+          .agg(countDistinct("user_id").as("active_users"))
+        val w2 = Window.partitionBy("cohort")
+        act.withColumn("cohort_users",
+            max(when(col("week_offset") === 0, col("active_users"))).over(w2))
+          .select(col("cohort"), col("week_offset"), col("active_users"),
+            round(col("active_users") / col("cohort_users"), 4)
+              .as("retention_pct"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+                     FROM events),
+              f AS (SELECT user_id, us,
+                           min(us) OVER (PARTITION BY user_id) AS first_us
+                    FROM e),
+              m AS (SELECT user_id,
+                           CAST(make_timestamp(first_us) AS DATE) AS cohort,
+                           (us - first_us) // 604800000000 AS week_offset
+                    FROM f),
+              a AS (SELECT cohort, week_offset,
+                           count(DISTINCT user_id) AS active_users
+                    FROM m GROUP BY 1, 2),
+              w AS (SELECT *,
+                           max(CASE WHEN week_offset = 0
+                                    THEN active_users END)
+                             OVER (PARTITION BY cohort) AS cohort_users
+                    FROM a)
+              SELECT cohort, week_offset, active_users,
+                     round(active_users / cohort_users, 4) AS retention_pct
+              FROM w ORDER BY cohort, week_offset"""))
   )
 }

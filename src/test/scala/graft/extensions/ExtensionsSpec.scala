@@ -590,5 +590,55 @@ class ExtensionsSpec extends SparkSpec {
       // the window must actually be exercised somewhere in the corpus
       assert(got.values.sum > 0, "range window matched nothing")
     }
+
+    it("z19_funnel matches a brute-force greedy min-after-previous chain") {
+      val winUs = 7L * 86400 * 1000000
+      // greedy chain per user: earliest view, earliest click after it,
+      // earliest purchase after that — exactly the query's semantics
+      val chains = raw.groupBy(_._1).values.map { evs =>
+        def firstAfter(tpe: String, after: Long): Option[Long] =
+          evs.filter(e => e._3 == tpe && e._2 > after)
+            .map(_._2).minOption
+        val t1 = evs.filter(_._3 == "view").map(_._2).minOption
+        val t2 = t1.flatMap(firstAfter("click", _))
+        val t3 = t2.flatMap(firstAfter("purchase", _))
+        (t1, t2, t3)
+      }.toSeq
+      val u1 = chains.count(_._1.isDefined).toLong
+      val u2 = chains.count(c =>
+        c._2.exists(t => t - c._1.get <= winUs)).toLong
+      val u3 = chains.count(c =>
+        c._3.exists(t => t - c._1.get <= winUs)).toLong
+      val got = graft.SparkEntry.queries("z19_funnel")(spark, sf)
+        .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(got == Map(1 -> ("view", u1), 2 -> ("click", u2),
+        3 -> ("purchase", u3)))
+      // the funnel must narrow (strictly positive entry, monotone steps)
+      assert(u1 > 0 && u1 >= u2 && u2 >= u3)
+    }
+
+    it("z20_retention matches a brute-force per-user week bucketing") {
+      val weekUs = 7L * 86400 * 1000000
+      val firstUs = raw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expected = raw
+        .map { e =>
+          val f = firstUs(e._1)
+          val cohort = java.time.Instant.ofEpochSecond(f / 1000000)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate
+          ((cohort, (e._2 - f) / weekUs), e._1)
+        }
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.length.toLong).toMap
+      val got = graft.SparkEntry.queries("z20_retention")(spark, sf)
+        .collect()
+        .map(r => ((r.getDate(0).toLocalDate, r.getLong(1)), r.getLong(2)))
+        .toMap
+      assert(got == expected)
+      // retention_pct at week 0 is exactly 1.0 for every cohort
+      val wk0 = graft.SparkEntry.queries("z20_retention")(spark, sf)
+        .filter(col("week_offset") === 0).collect()
+      assert(wk0.nonEmpty && wk0.forall(_.getDouble(3) == 1.0))
+    }
   }
 }

@@ -418,6 +418,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("StringContains(source,1)"), p)
   }
 
+  it("z19_funnel shares ONE user_id exchange across all three step windows") {
+    // the greedy min-after-previous chain must ride a single natural-key
+    // shuffle: three whole-partition window mins + the per-user roll-up
+    // all reuse the user_id partitioning, and the step filter reaches
+    // the parquet scan. A second data exchange or a global window here
+    // would not survive a 100 TB event log.
+    val p = planOf("z19_funnel")
+    assert(p.contains("PushedFilters: [In(event_type"), p)
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id")), p)
+    val dataExchanges = p.split("hashpartitioning\\(").drop(1)
+      .count(_.startsWith("user_id"))
+    assert(dataExchanges == 1, s"expected 1 user_id exchange:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  it("z20_retention touches the corpus once: user window then keyed aggs") {
+    // one user_id exchange stamps first_us; the exact distinct count's
+    // partial dedupe reuses that partitioning (its keys include
+    // user_id), so the only other hash exchanges ride the tiny
+    // post-aggregation frames (cohort keys)
+    val p = planOf("z20_retention")
+    val parts = p.split("hashpartitioning\\(").drop(1)
+    assert(parts.count(_.startsWith("user_id")) == 1, p)
+    assert(parts.forall(s =>
+      s.startsWith("user_id") || s.startsWith("cohort")), p)
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("user_id") || l.contains("cohort")), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   it("a13_ortho_o3 explodes long-form with map-side-combined dim sums") {
     // per-DIMENSION dots need the long form: posexplode (Generate),
     // then (label, dim) partial sums BEFORE the exchange so only
