@@ -1795,6 +1795,60 @@ object TextOps {
               |           ROWS BETWEEN UNBOUNDED PRECEDING
               |                    AND 1 PRECEDING), 0) // 4096
               |         AS BIGINT) AS shard
-              |FROM surv ORDER BY source, doc_id""".stripMargin))
+              |FROM surv ORDER BY source, doc_id""".stripMargin)),
+
+    // Canonical-representative selection per near-dup component: the
+    // curation step downstream of dedup clustering — from each x16
+    // component keep the LONGEST member (the keep-longest rule of
+    // RefinedWeb-style pipelines; ties break to the lowest doc_id) and
+    // account the characters the collapse removes. Layout: the
+    // component frame carries only docs that appear in verified pairs
+    // (far smaller than the corpus), equi-joins documents on doc_id for
+    // n_chars, then ONE hash shuffle on component shared by the rank
+    // window and the roll-up. Never all-pairs, nothing globally ordered.
+    QueryDef(
+      "x32_canonical_docs",
+      (s, d) => {
+        val comp = connectedComponents(
+          cachedVerifiedPairs(s, d, k = 16, bands = 4, threshold = 0.5)
+            .select("doc_a", "doc_b"))
+        val m = comp.join(
+          T.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        val w = Window.partitionBy("component")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        m.withColumn("rk", row_number().over(w))
+          .groupBy("component")
+          .agg(
+            max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+            count(lit(1)).as("n_members"),
+            sum("n_chars").as("total_chars"),
+            max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"))
+          .select(col("component"), col("keep_id"), col("n_members"),
+            col("total_chars"),
+            round(lit(1.0) - col("kept_chars").cast("double") /
+              col("total_chars"), 6).as("savings"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE ${minhashVerifiedCtes(16, 4, 0.5)},
+              |bi AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              |       UNION ALL SELECT doc_b, doc_a FROM verified),
+              |reach(u, r) AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM bi)
+              |  UNION
+              |  SELECT bi.u, reach.r FROM bi JOIN reach ON bi.v = reach.u),
+              |comp AS (SELECT u AS doc_id, min(r) AS component
+              |         FROM reach GROUP BY u),
+              |m AS (SELECT c.component, c.doc_id, d.n_chars,
+              |        row_number() OVER (PARTITION BY c.component
+              |          ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+              |      FROM comp c JOIN documents d USING (doc_id))
+              |SELECT component,
+              |       max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+              |       count(*) AS n_members,
+              |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |       round(1.0 - CAST(max(CASE WHEN rk = 1 THEN n_chars END)
+              |             AS DOUBLE) / sum(n_chars), 6) AS savings
+              |FROM m GROUP BY component ORDER BY component""".stripMargin))
   )
 }

@@ -449,6 +449,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  it("x32_canonical_docs ranks inside components only (no global window)") {
+    // the keep-longest window and the roll-up both ride the component
+    // partitioning; an unpartitioned rank here would funnel every dup
+    // doc through one task
+    val p = planOf("x32_canonical_docs")
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("component")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   it("a13_ortho_o3 explodes long-form with map-side-combined dim sums") {
     // per-DIMENSION dots need the long form: posexplode (Generate),
     // then (label, dim) partial sums BEFORE the exchange so only

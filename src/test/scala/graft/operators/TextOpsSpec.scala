@@ -421,4 +421,28 @@ class TextOpsSpec extends SparkSpec {
       viaExact.except(viaBloom).count() == 0,
       "bloom-prefiltered decontamination diverged from the exact pass")
   }
+
+  it("x32 keeps the longest member per x16 component (ties to min doc_id)") {
+    val sf = "/root/testdata/sf0.001"
+    val comp = graft.SparkEntry.queries("x16_dup_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nchars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = comp.groupBy(_._2).map { case (c, members) =>
+      val ids = members.map(_._1)
+      val keep = ids.minBy(id => (-nchars(id), id))
+      val total = ids.map(nchars).sum
+      c -> (keep, ids.length.toLong, total,
+        BigDecimal(1.0 - nchars(keep).toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.SparkEntry.queries("x32_canonical_docs")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (c, e) => assert(got(c) == e, s"component $c") }
+    // every component collapses at least one doc, so savings > 0
+    assert(got.nonEmpty && got.values.forall(_._4 > 0))
+  }
 }
