@@ -125,6 +125,8 @@ object Bench {
     "x17_contamination", "x18_bm25",
     "x21_lm_xent", // x15/x21 r12: read the shared gram-count fixture
     "x23_dup_spans", "x26_semantic_components", "x29_curation_pipeline",
+    "x32_canonical_docs", // r13: ranks inside the x16 component frame
+    // (same verified-pairs fixture, driver union-find below the gate)
     "x30_bloom_decontam", // r12 audit finding: reads the shingle
     // fixture (plus the fitted Bloom) — was silently undeclared
     "x31_vocab_coverage", // r12: pure gram-count-fixture consumer

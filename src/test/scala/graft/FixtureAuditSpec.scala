@@ -42,7 +42,8 @@ class FixtureAuditSpec extends SparkSpec {
     * Audited in the under-reporting direction only. */
   private val eagerFixtureConsumers: Map[String, String] = Map(
     "x16_dup_components" -> "verified-pairs fixture via driver union-find",
-    "x26_semantic_components" -> "LSH-bucket pairs via driver union-find")
+    "x26_semantic_components" -> "LSH-bucket pairs via driver union-find",
+    "x32_canonical_docs" -> "verified-pairs fixture via driver union-find")
 
   private def cachedRelCount(name: String): Int =
     SparkEntry.queries(name)(spark, sf)
