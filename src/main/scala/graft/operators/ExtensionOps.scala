@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -10,6 +11,60 @@ import graft.streaming.EventStream
 /** Multimodal and event/streaming operators exposed through the driver
   * contract. */
 object ExtensionOps {
+
+  /** Funnel contract shared by the batch arm (z19), the streaming arm
+    * (z21), and their common DuckDB oracle: steps view → click →
+    * purchase, completion window 7 days in exact micros. Hoisted so the
+    * three can never silently diverge. */
+  private val FunnelWindowUs: Long = 7L * 86400 * 1000000
+
+  /** Roll a per-user (t1, t2, t3) step-time frame (micros, null = step
+    * not reached) into the 3-row funnel summary. */
+  private def funnelRollup(perUser: DataFrame): DataFrame =
+    perUser.agg(
+        count(col("t1")).as("u1"),
+        count(when(col("t2").isNotNull &&
+          col("t2") - col("t1") <= FunnelWindowUs, 1)).as("u2"),
+        count(when(col("t3").isNotNull &&
+          col("t3") - col("t1") <= FunnelWindowUs, 1)).as("u3"))
+      .select(expr(
+        """stack(3, 1, 'view', u1, 2, 'click', u2, 3, 'purchase', u3)
+           as (step, event_type, users)"""), col("u1"))
+      .select(col("step"), col("event_type"), col("users"),
+        when(col("u1") === 0, lit(null))
+          .otherwise(round(col("users") / col("u1"), 4))
+          .as("pct_of_entry"))
+      .orderBy("step")
+
+  private val FunnelOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+       |        event_type FROM events
+       |      WHERE event_type IN ('view', 'click', 'purchase')),
+       |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+       |        OVER (PARTITION BY user_id) AS t1 FROM e),
+       |b AS (SELECT *, min(CASE WHEN event_type = 'click'
+       |                          AND us > t1 THEN us END)
+       |        OVER (PARTITION BY user_id) AS t2 FROM a),
+       |c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+       |                          AND us > t2 THEN us END)
+       |        OVER (PARTITION BY user_id) AS t3 FROM b),
+       |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+       |             max(t3) AS t3 FROM c GROUP BY 1),
+       |k AS (SELECT count(t1) AS u1,
+       |             count(CASE WHEN t2 IS NOT NULL
+       |                         AND t2 - t1 <= $FunnelWindowUs
+       |                        THEN 1 END) AS u2,
+       |             count(CASE WHEN t3 IS NOT NULL
+       |                         AND t3 - t1 <= $FunnelWindowUs
+       |                        THEN 1 END) AS u3 FROM u)
+       |SELECT step, event_type, users,
+       |       CASE WHEN u1 = 0 THEN NULL
+       |            ELSE round(users / u1, 4) END AS pct_of_entry
+       |FROM (SELECT 1 AS step, 'view' AS event_type, u1 AS users, u1
+       |        FROM k
+       |      UNION ALL SELECT 2, 'click', u2, u1 FROM k
+       |      UNION ALL SELECT 3, 'purchase', u3, u1 FROM k)
+       |ORDER BY step""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -536,7 +591,6 @@ object ExtensionOps {
     QueryDef(
       "z19_funnel",
       (s, d) => {
-        val winUs = 7L * 86400 * 1000000
         val e = EventStream.readEvents(s, d)
           .filter(col("event_type").isin("view", "click", "purchase"))
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -551,51 +605,10 @@ object ExtensionOps {
           .withColumn("t3",
             min(when(col("event_type") === "purchase" && col("us") > col("t2"),
               col("us"))).over(w))
-        val perUser = staged.groupBy("user_id")
-          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
-        perUser.agg(
-            count(col("t1")).as("u1"),
-            count(when(col("t2").isNotNull &&
-              col("t2") - col("t1") <= winUs, 1)).as("u2"),
-            count(when(col("t3").isNotNull &&
-              col("t3") - col("t1") <= winUs, 1)).as("u3"))
-          .select(expr(
-            """stack(3, 1, 'view', u1, 2, 'click', u2, 3, 'purchase', u3)
-               as (step, event_type, users)"""), col("u1"))
-          .select(col("step"), col("event_type"), col("users"),
-            when(col("u1") === 0, lit(null))
-              .otherwise(round(col("users") / col("u1"), 4))
-              .as("pct_of_entry"))
-          .orderBy("step")
+        funnelRollup(staged.groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3")))
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
-                       event_type FROM events
-                     WHERE event_type IN ('view', 'click', 'purchase')),
-              a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
-                      OVER (PARTITION BY user_id) AS t1 FROM e),
-              b AS (SELECT *, min(CASE WHEN event_type = 'click'
-                                        AND us > t1 THEN us END)
-                      OVER (PARTITION BY user_id) AS t2 FROM a),
-              c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
-                                        AND us > t2 THEN us END)
-                      OVER (PARTITION BY user_id) AS t3 FROM b),
-              u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2,
-                           max(t3) AS t3 FROM c GROUP BY 1),
-              k AS (SELECT count(t1) AS u1,
-                           count(CASE WHEN t2 IS NOT NULL
-                                       AND t2 - t1 <= 604800000000
-                                      THEN 1 END) AS u2,
-                           count(CASE WHEN t3 IS NOT NULL
-                                       AND t3 - t1 <= 604800000000
-                                      THEN 1 END) AS u3 FROM u)
-              SELECT step, event_type, users,
-                     CASE WHEN u1 = 0 THEN NULL
-                          ELSE round(users / u1, 4) END AS pct_of_entry
-              FROM (SELECT 1 AS step, 'view' AS event_type, u1 AS users, u1
-                      FROM k
-                    UNION ALL SELECT 2, 'click', u2, u1 FROM k
-                    UNION ALL SELECT 3, 'purchase', u3, u1 FROM k)
-              ORDER BY step""")),
+      Some(FunnelOracle)),
 
     // Weekly cohort retention: cohort = date of the user's first event;
     // week_offset = whole weeks since that first event (rolling weeks
@@ -647,6 +660,24 @@ object ExtensionOps {
                     FROM a)
               SELECT cohort, week_offset, active_users,
                      round(active_users / cohort_users, 4) AS retention_pct
-              FROM w ORDER BY cohort, week_offset"""))
+              FROM w ORDER BY cohort, week_offset""")),
+
+    // The STREAMING twin of z19: the same ordered funnel computed by a
+    // per-user mapGroupsWithState state machine over a real micro-batch
+    // execution — three longs of state per user, eviction armed at
+    // t1 + window (past it the windowed counts are final). Update-mode
+    // re-emissions carry a MONOTONE triple whose fields never change
+    // once set, so the per-user reduce is a plain max() aggregation; the
+    // 3-row roll-up and the DuckDB oracle are shared with z19 verbatim,
+    // pinning stream ≡ batch through the gate. Exact under per-user
+    // in-order delivery (see EventStream.funnelChain's contract note).
+    QueryDef(
+      "z21_stream_funnel",
+      (s, d) => funnelRollup(
+        EventStream.runFunnelOnce(s, d, FunnelWindowUs,
+            queryName = s"graft_funnel_${graft.etl.ScaleUtils.pathTag(d)}")
+          .groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))),
+      Some(FunnelOracle))
   )
 }

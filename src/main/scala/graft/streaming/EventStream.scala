@@ -234,6 +234,101 @@ object EventStream {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  /** Step-completion times in exact micros; −1 = step not reached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelUser(user_id: Long, t1: Option[Long],
+      t2: Option[Long], t3: Option[Long])
+
+  /** Epoch micros of a Timestamp (getTime is ms but getNanos carries the
+    * full fractional second, so the sub-ms digits survive). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def stepOpt(v: Long): Option[Long] = if (v >= 0) Some(v) else None
+
+  /** Streaming ordered-funnel state machine (z21, the streaming twin of
+    * the batch z19): per user, the greedy min-after-previous chain —
+    * first 'view', first 'click' strictly after it, first 'purchase'
+    * strictly after that — carried as three longs of state, O(1) per
+    * user. Each field is written at most once and never changes, so
+    * every emission of a user's triple is monotone (None → Some(v),
+    * v final) and consumers can reduce re-emissions with max().
+    * Eviction is armed at t1 + window once the anchor exists: beyond it
+    * the chain can no longer change the windowed step counts.
+    *
+    * Exactness contract: exact under per-user in-order delivery —
+    * guaranteed here by the AvailableNow source (events sorted within
+    * each group call), and in production by per-key ordered ingest
+    * (e.g. a log partitioned by user). A cross-batch late arrival that
+    * would retract an anchor is NOT replayed — the standard streaming-
+    * funnel trade (ClickHouse windowFunnel makes the same one). */
+  def funnelChain(events: Dataset[FunnelEvent],
+      winUs: Long): Dataset[FunnelUser] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUser](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed t1 + window: counts are final — evict
+            val st = state.get
+            state.remove()
+            FunnelUser(uid, stepOpt(st.t1), stepOpt(st.t2), stepOpt(st.t3))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            evs.toSeq.sortBy(e => tsMicros(e.ts)).foreach { e =>
+              val us = tsMicros(e.ts)
+              e.event_type match {
+                case "view" if st.t1 < 0 => st = st.copy(t1 = us)
+                case "click" if st.t1 >= 0 && us > st.t1 && st.t2 < 0 =>
+                  st = st.copy(t2 = us)
+                case "purchase" if st.t2 >= 0 && us > st.t2 && st.t3 < 0 =>
+                  st = st.copy(t3 = us)
+                case _ => ()
+              }
+            }
+            state.update(st)
+            if (st.t1 >= 0) {
+              // timeout clock is MILLIS; must stay strictly above the
+              // current watermark (batch execution: no watermark, no
+              // timeouts — fall through, same as sessionize)
+              val wm = try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => Long.MinValue }
+              try state.setTimeoutTimestamp(
+                math.max((st.t1 + winUs) / 1000, wm + 1))
+              catch { case _: UnsupportedOperationException => () }
+            }
+            FunnelUser(uid, stepOpt(st.t1), stepOpt(st.t2), stepOpt(st.t3))
+          }
+      }
+  }
+
+  /** Run [[funnelChain]] to completion (AvailableNow → update-mode
+    * memory sink). Update mode re-emits a user's triple as it advances
+    * (and once more if the eviction timeout fires in the flush batch);
+    * the triple is monotone with final field values, so the caller
+    * reduces with max() per user. */
+  def runFunnelOnce(spark: SparkSession, sfDir: String, winUs: Long,
+      queryName: String = "event_funnel",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
+      import spark.implicits._
+      val evs = eventsStream(spark, sfDir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[FunnelEvent]
+      val q = funnelChain(evs, winUs).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
   final case class SessionRow(user_id: Long, s_ms: Long, n_events: Long,
       duration_ms: Long)
 

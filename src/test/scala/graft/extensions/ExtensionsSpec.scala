@@ -618,6 +618,19 @@ class ExtensionsSpec extends SparkSpec {
       assert(u1 > 0 && u1 >= u2 && u2 >= u3)
     }
 
+    it("z21_stream_funnel reproduces the batch funnel through a real stream") {
+      val batch = graft.SparkEntry.queries("z19_funnel")(spark, sf)
+        .collect().toSeq
+      val stream = graft.SparkEntry.queries("z21_stream_funnel")(spark, sf)
+        .collect().toSeq
+      assert(stream == batch)
+      // and the stream actually did per-user stateful work: the sink
+      // table holds at least one triple per funnel-entering user
+      val entered = batch.head.getLong(2)
+      assert(spark.table(s"graft_funnel_${graft.etl.ScaleUtils.pathTag(sf)}")
+        .count() >= entered)
+    }
+
     it("z20_retention matches a brute-force per-user week bucketing") {
       val weekUs = 7L * 86400 * 1000000
       val firstUs = raw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
