@@ -73,5 +73,31 @@ class StateStoresSpec extends SparkSpec {
         case None => spark.conf.unset(StateStores.ProviderConf)
       }
     }
+
+    it("the streaming funnel state machine is provider-agnostic") {
+      import org.apache.spark.sql.functions.{col, max}
+      val sf = "/root/testdata/sf0.001"
+      val winUs = 7L * 86400 * 1000000
+      def triples(queryName: String) =
+        EventStream.runFunnelOnce(spark, sf, winUs, queryName = queryName)
+          .groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+          .collect()
+          .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+      val prev = spark.conf.getOption(StateStores.ProviderConf)
+      try {
+        assert(StateStores.configure(spark, 15000000L, 1, 24.0) ==
+          StateStores.RocksDbProvider)
+        val viaRocks = triples("t_funnel_rocks")
+        StateStores.configure(spark, 1000L, 1, 4.0)
+        assert(!spark.conf.get(StateStores.ProviderConf).contains("RocksDB"))
+        val viaHeap = triples("t_funnel_heap")
+        assert(viaRocks.nonEmpty && viaRocks == viaHeap,
+          "funnel state diverged across state-store providers")
+      } finally prev match {
+        case Some(v) => spark.conf.set(StateStores.ProviderConf, v)
+        case None => spark.conf.unset(StateStores.ProviderConf)
+      }
+    }
   }
 }
