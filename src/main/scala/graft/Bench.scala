@@ -127,6 +127,8 @@ object Bench {
     "x23_dup_spans", "x26_semantic_components", "x29_curation_pipeline",
     "x32_canonical_docs", // r13: ranks inside the x16 component frame
     // (same verified-pairs fixture, driver union-find below the gate)
+    "x33_pagerank", // r13: power-iterates the verified-pairs graph; the
+    // per-iteration localCheckpoint hides the fixture from the plan
     "x30_bloom_decontam", // r12 audit finding: reads the shingle
     // fixture (plus the fitted Bloom) — was silently undeclared
     "x31_vocab_coverage", // r12: pure gram-count-fixture consumer

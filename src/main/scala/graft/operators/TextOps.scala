@@ -1849,6 +1849,71 @@ object TextOps {
               |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
               |       round(1.0 - CAST(max(CASE WHEN rk = 1 THEN n_chars END)
               |             AS DOUBLE) / sum(n_chars), 6) AS savings
-              |FROM m GROUP BY component ORDER BY component""".stripMargin))
+              |FROM m GROUP BY component ORDER BY component""".stripMargin)),
+
+    // PageRank centrality over the near-dup graph (the same verified
+    // MinHash edge set as x16/x32): which documents sit at the center of
+    // duplication clusters — the canonical-selection signal when "keep
+    // the most-linked copy" beats keep-longest. Undirected graph, 10
+    // power iterations, damping 0.85, ranks rounded to 6 dp each
+    // iteration so both engines iterate on IDENTICAL values (a double
+    // sum's order-dependent 1e-17 tail can never reach the 5e-7
+    // rounding boundary). A new algorithm class for the engine:
+    // iterative numeric propagation as per-iteration keyed join + agg,
+    // lineage truncated every round like connectedComponents.
+    QueryDef(
+      "x33_pagerank",
+      (s, d) => pageRank(
+        cachedVerifiedPairs(s, d, k = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b"),
+        iters = 10, damping = 0.85),
+      Some(s"""WITH RECURSIVE ${minhashVerifiedCtes(16, 4, 0.5)},
+              |bi AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              |       UNION ALL SELECT doc_b, doc_a FROM verified),
+              |deg AS (SELECT u, count(*) AS d FROM bi GROUP BY 1),
+              |nn AS (SELECT count(*) AS n FROM deg),
+              |pr(iter, u, r) AS (
+              |  SELECT 0, u, round(1.0 / (SELECT n FROM nn), 6) FROM deg
+              |  UNION ALL
+              |  SELECT p.iter + 1, bi.v,
+              |         round(0.15 / (SELECT n FROM nn)
+              |               + 0.85 * sum(p.r / dg.d), 6)
+              |  FROM pr p
+              |  JOIN deg dg ON dg.u = p.u
+              |  JOIN bi ON bi.u = p.u
+              |  WHERE p.iter < 10
+              |  GROUP BY p.iter, bi.v)
+              |SELECT u AS doc_id, r AS rank
+              |FROM pr WHERE iter = 10 ORDER BY doc_id""".stripMargin))
   )
+
+  /** Distributed PageRank over an undirected edge list: per iteration,
+    * one keyed join credits each node's rank/degree share to its
+    * neighbors and one keyed aggregation folds the shares — the
+    * standard scale shape (shuffles only on node keys, state one
+    * double per node). Every node in an undirected edge list has
+    * in-degree ≥ 1, so no dangling-node term is needed. Ranks are
+    * rounded to 6 dp per iteration: both the engine and the DuckDB
+    * oracle then iterate on identical inputs, so summation order can
+    * never drift the hash compare. `localCheckpoint` truncates lineage
+    * each round (same rationale as [[connectedComponents]]). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val e0 = edges.localCheckpoint(true)
+    val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val n = deg.count()
+    var pr = deg.select(col("u"), round(lit(1.0) / n, 6).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      pr = bi.join(pr, Seq("u")).join(deg, Seq("u"))
+        .groupBy(col("v"))
+        .agg(round(lit(1.0 - damping) / n +
+          lit(damping) * sum(col("r") / col("d")), 6).as("r"))
+        .select(col("v").as("u"), col("r"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("u").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
+  }
 }

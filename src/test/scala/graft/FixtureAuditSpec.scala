@@ -43,7 +43,9 @@ class FixtureAuditSpec extends SparkSpec {
   private val eagerFixtureConsumers: Map[String, String] = Map(
     "x16_dup_components" -> "verified-pairs fixture via driver union-find",
     "x26_semantic_components" -> "LSH-bucket pairs via driver union-find",
-    "x32_canonical_docs" -> "verified-pairs fixture via driver union-find")
+    "x32_canonical_docs" -> "verified-pairs fixture via driver union-find",
+    "x33_pagerank" -> ("verified-pairs fixture consumed at construction " +
+      "(eager localCheckpoint per power iteration)"))
 
   private def cachedRelCount(name: String): Int =
     SparkEntry.queries(name)(spark, sf)

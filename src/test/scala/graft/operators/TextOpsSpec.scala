@@ -445,4 +445,33 @@ class TextOpsSpec extends SparkSpec {
     // every component collapses at least one doc, so savings > 0
     assert(got.nonEmpty && got.values.forall(_._4 > 0))
   }
+
+  it("x33 pagerank matches a driver power iteration on the same graph") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = graft.SparkEntry.queries("x6_minhash_dedup")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bi = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = bi.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = deg.keySet.toSeq.sorted
+    val n = nodes.size
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = nodes.map(_ -> rnd(1.0 / n)).toMap
+    for (_ <- 1 to 10) {
+      val contrib = bi.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(u =>
+        u -> rnd(0.15 / n + 0.85 * contrib.getOrElse(u, 0.0))).toMap
+    }
+    val got = graft.SparkEntry.queries("x33_pagerank")(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == r.keySet)
+    // per-iteration rounding is shared; tolerance only covers the brute
+    // force's own summation order
+    r.foreach { case (u, v) =>
+      assert(math.abs(got(u) - v) < 1e-5, s"node $u: ${got(u)} vs $v") }
+    // a conservation sanity: total rank stays ~1 on this all-connected set
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+  }
 }
