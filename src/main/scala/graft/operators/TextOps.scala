@@ -1884,7 +1884,96 @@ object TextOps {
               |  WHERE p.iter < 10
               |  GROUP BY p.iter, bi.v)
               |SELECT u AS doc_id, r AS rank
-              |FROM pr WHERE iter = 10 ORDER BY doc_id""".stripMargin))
+              |FROM pr WHERE iter = 10 ORDER BY doc_id""".stripMargin)),
+
+    // HyperLogLog distinct-token count per source — the sketch a 100 TB
+    // corpus uses where exact distinct would shuffle the whole token
+    // stream: m = 256 registers from the portable PolyHash64's top 8
+    // bits, register = leftmost-1-bit position of the remaining 56, the
+    // standard bias-corrected harmonic estimate with the linear-counting
+    // small-range branch. FULLY oracled (unusual for a sketch): the
+    // DuckDB oracle runs the IDENTICAL sketch over the identical
+    // portable hashes, so both engines agree bit-for-bit; the exact
+    // distinct rides along as the in-query control (and would be the
+    // arm you drop at scale). rho uses floor(log2(x)) — both engines
+    // take the same IEEE long→double rounding, so even the 1-in-2^53
+    // boundary cases agree. Estimates round to 4 dp: a double sum of
+    // ≤256 exact powers of two has an order tail ~1e-16, never near
+    // the 5e-5 boundary.
+    QueryDef(
+      "x34_hll_distinct",
+      (s, d) => {
+        val m = 256
+        val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+        val tok = T.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tk"))
+          .select(col("source"),
+            graft.functions.PolyHash64.polyhash64(col("tk")).as("h"))
+        val regs = tok
+          .select(col("source"),
+            expr("shiftrightunsigned(h, 56)").as("bkt"),
+            (col("h").bitwiseAND(lit((1L << 56) - 1))).as("x"))
+          .select(col("source"), col("bkt"),
+            when(col("x") === 0, lit(57L))
+              .otherwise(lit(56L) - floor(log2(col("x")))).as("rho"))
+          .groupBy("source", "bkt").agg(max("rho").as("rmax"))
+        val est = regs.groupBy("source")
+          .agg(sum(pow(lit(2.0), -col("rmax"))).as("sp"),
+            count(lit(1)).as("nb"))
+          .select(col("source"),
+            (col("sp") + (lit(m.toDouble) - col("nb"))).as("sumpow"),
+            (lit(m.toLong) - col("nb")).as("v"))
+          .select(col("source"),
+            round(when(col("v") > 0 &&
+              lit(alphaMM) / col("sumpow") <= lit(2.5 * m),
+              lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+              .otherwise(lit(alphaMM) / col("sumpow")), 4).as("n_hll"))
+        val exact = tok.groupBy("source")
+          .agg(countDistinct("h").as("n_exact"))
+        exact.join(est, Seq("source"))
+          .select(col("source"), col("n_exact"), col("n_hll"),
+            round((col("n_hll") - col("n_exact")) / col("n_exact") * 100, 2)
+              .as("err_pct"))
+          .orderBy("source")
+      },
+      Some({
+        val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+        s"""WITH tok AS (SELECT source,
+           |         ${sqlToSigned(polySqlUnsigned("x"))} AS h
+           |       FROM (SELECT source,
+           |               unnest(string_split_regex(trim(text), '\\s+')) AS x
+           |             FROM documents)),
+           |u AS (SELECT source,
+           |        CASE WHEN h < 0
+           |          THEN CAST(h AS HUGEINT) + 18446744073709551616
+           |          ELSE CAST(h AS HUGEINT) END AS uh
+           |      FROM tok),
+           |r AS (SELECT source,
+           |        CAST(uh // 72057594037927936 AS BIGINT) AS bkt,
+           |        CAST(uh % 72057594037927936 AS BIGINT) AS x
+           |      FROM u),
+           |rho AS (SELECT source, bkt,
+           |          CASE WHEN x = 0 THEN CAST(57 AS BIGINT)
+           |            ELSE 56 - CAST(floor(log2(x)) AS BIGINT) END AS rho
+           |        FROM r),
+           |regs AS (SELECT source, bkt, max(rho) AS rmax
+           |         FROM rho GROUP BY 1, 2),
+           |est AS (SELECT source,
+           |          sum(pow(2.0, -rmax)) + (256.0 - count(*)) AS sumpow,
+           |          256 - count(*) AS v
+           |        FROM regs GROUP BY 1),
+           |hll AS (SELECT source,
+           |          round(CASE WHEN v > 0 AND $alphaMM / sumpow <= 640.0
+           |            THEN 256.0 * ln(256.0 / v)
+           |            ELSE $alphaMM / sumpow END, 4) AS n_hll
+           |        FROM est),
+           |ex AS (SELECT source, count(DISTINCT h) AS n_exact FROM tok
+           |       GROUP BY 1)
+           |SELECT ex.source, n_exact, n_hll,
+           |       round((n_hll - n_exact) / n_exact * 100, 2) AS err_pct
+           |FROM ex JOIN hll USING (source)
+           |ORDER BY source""".stripMargin
+      }))
   )
 
   /** Distributed PageRank over an undirected edge list: per iteration,

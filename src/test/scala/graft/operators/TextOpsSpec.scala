@@ -474,4 +474,24 @@ class TextOpsSpec extends SparkSpec {
     // a conservation sanity: total rank stays ~1 on this all-connected set
     assert(math.abs(got.values.sum - 1.0) < 1e-3)
   }
+
+  it("x34 HLL estimate tracks the exact distinct within sketch error") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("x34_hll_distinct")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // exact column = a driver count of distinct whitespace tokens
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exact = docs.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.trim.split("\\s+")).distinct.length.toLong).toMap
+    rows.foreach { case (src, nExact, nHll) =>
+      assert(nExact == exact(src), s"$src exact")
+      // m = 256 registers: standard error 1.04/sqrt(256) = 6.5%; allow 4σ
+      assert(nHll > 0 && math.abs(nHll - nExact) / nExact < 0.26,
+        s"$src: hll $nHll vs exact $nExact")
+    }
+  }
 }
