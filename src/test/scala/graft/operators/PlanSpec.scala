@@ -459,6 +459,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  it("x34_hll_distinct partial-aggregates the registers map-side") {
+    // the sketch's 100 TB contract: the token stream collapses to
+    // <= 256 register rows per source BEFORE any exchange (partial max
+    // of rho per (source, bucket)); losing the partial agg would
+    // shuffle every token
+    val p = planOf("x34_hll_distinct")
+    assert(p.contains("partial_max"), p)
+    assert(p.contains("polyhash64"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   it("a13_ortho_o3 explodes long-form with map-side-combined dim sums") {
     // per-DIMENSION dots need the long form: posexplode (Generate),
     // then (label, dim) partial sums BEFORE the exchange so only
