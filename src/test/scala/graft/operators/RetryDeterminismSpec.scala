@@ -69,6 +69,23 @@ class RetryDeterminismSpec extends SparkSpec {
       "semantic components diverged after a task retry")
   }
 
+  it("x33 pagerank is identical after a mid-stage task retry") {
+    // the iterative case: a retry inside any of the ten eager
+    // localCheckpoint rounds must reproduce the same materialized
+    // frame, or rank drift compounds across the remaining iterations
+    def ranks(inject: Boolean): Seq[String] = {
+      val edges = TextOps.cachedVerifiedPairs(spark, sf,
+        k = 16, bands = 4, threshold = 0.5).select("doc_a", "doc_b")
+      val e = if (inject) failFirstAttempt(edges, "x33") else edges
+      collectSorted(TextOps.pageRank(e, iters = 10, damping = 0.85))
+    }
+    val clean = ranks(inject = false)
+    val retried = ranks(inject = true)
+    assert(retried.nonEmpty, "retry run returned no rows")
+    assert(retried === clean,
+      "pagerank diverged after a task retry")
+  }
+
   it("the injection harness actually kills and retries a task") {
     // guard against the spec silently testing nothing (e.g. a future
     // session config change making attemptNumber always nonzero).
