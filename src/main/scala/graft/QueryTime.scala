@@ -112,7 +112,7 @@ object QueryTime {
     val statefulZ = Set("z4_stream_windowed", "z8_stream_append",
       "z9_stream_sessions", "z10_session_window", "z13_stream_join",
       "z15_stream_sessions_all", "z16_stream_session_window",
-      "z18_stream_dedup", "z21_stream_funnel")
+      "z18_stream_dedup", "z21_stream_funnel", "z22_stream_retention")
     lazy val providerByRule: String = {
       val liveKeys = graft.streaming.EventStream
         .liveKeyEstimate(spark, sfDir)

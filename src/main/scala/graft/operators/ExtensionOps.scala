@@ -66,6 +66,48 @@ object ExtensionOps {
        |      UNION ALL SELECT 3, 'purchase', u3, u1 FROM k)
        |ORDER BY step""".stripMargin
 
+  /** Rolling-week length shared by the batch (z20) and streaming (z22)
+    * retention arms and their common oracle. */
+  private val RetentionWeekUs: Long = 7L * 86400 * 1000000
+
+  /** Roll a (user_id, cohort, week_offset) activity frame into the
+    * cohort-retention summary — tolerant of either one row per EVENT
+    * (z20's window output) or one row per (user, week) (z22's
+    * append-only stream hits): the distinct count collapses both. */
+  private def retentionRollup(marked: DataFrame): DataFrame = {
+    val act = marked.groupBy("cohort", "week_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+    val w2 = Window.partitionBy("cohort")
+    act.withColumn("cohort_users",
+        max(when(col("week_offset") === 0, col("active_users"))).over(w2))
+      .select(col("cohort"), col("week_offset"), col("active_users"),
+        round(col("active_users") / col("cohort_users"), 4)
+          .as("retention_pct"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  private val RetentionOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+       |       FROM events),
+       |f AS (SELECT user_id, us,
+       |             min(us) OVER (PARTITION BY user_id) AS first_us
+       |      FROM e),
+       |m AS (SELECT user_id,
+       |             CAST(make_timestamp(first_us) AS DATE) AS cohort,
+       |             (us - first_us) // $RetentionWeekUs AS week_offset
+       |      FROM f),
+       |a AS (SELECT cohort, week_offset,
+       |             count(DISTINCT user_id) AS active_users
+       |      FROM m GROUP BY 1, 2),
+       |w AS (SELECT *,
+       |             max(CASE WHEN week_offset = 0
+       |                      THEN active_users END)
+       |               OVER (PARTITION BY cohort) AS cohort_users
+       |      FROM a)
+       |SELECT cohort, week_offset, active_users,
+       |       round(active_users / cohort_users, 4) AS retention_pct
+       |FROM w ORDER BY cohort, week_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Multimodal asset profile over binary columns: per-modality counts,
@@ -627,40 +669,13 @@ object ExtensionOps {
         val e = EventStream.readEvents(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("us"))
         val w = Window.partitionBy("user_id")
-        val marked = e.withColumn("first_us", min("us").over(w))
+        retentionRollup(e.withColumn("first_us", min("us").over(w))
           .select(col("user_id"),
             to_date(timestamp_micros(col("first_us"))).as("cohort"),
-            expr("(us - first_us) div 604800000000").as("week_offset"))
-        val act = marked.groupBy("cohort", "week_offset")
-          .agg(countDistinct("user_id").as("active_users"))
-        val w2 = Window.partitionBy("cohort")
-        act.withColumn("cohort_users",
-            max(when(col("week_offset") === 0, col("active_users"))).over(w2))
-          .select(col("cohort"), col("week_offset"), col("active_users"),
-            round(col("active_users") / col("cohort_users"), 4)
-              .as("retention_pct"))
-          .orderBy("cohort", "week_offset")
+            expr(s"(us - first_us) div $RetentionWeekUs")
+              .as("week_offset")))
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
-                     FROM events),
-              f AS (SELECT user_id, us,
-                           min(us) OVER (PARTITION BY user_id) AS first_us
-                    FROM e),
-              m AS (SELECT user_id,
-                           CAST(make_timestamp(first_us) AS DATE) AS cohort,
-                           (us - first_us) // 604800000000 AS week_offset
-                    FROM f),
-              a AS (SELECT cohort, week_offset,
-                           count(DISTINCT user_id) AS active_users
-                    FROM m GROUP BY 1, 2),
-              w AS (SELECT *,
-                           max(CASE WHEN week_offset = 0
-                                    THEN active_users END)
-                             OVER (PARTITION BY cohort) AS cohort_users
-                    FROM a)
-              SELECT cohort, week_offset, active_users,
-                     round(active_users / cohort_users, 4) AS retention_pct
-              FROM w ORDER BY cohort, week_offset""")),
+      Some(RetentionOracle)),
 
     // The STREAMING twin of z19: the same ordered funnel computed by a
     // per-user mapGroupsWithState state machine over a real micro-batch
@@ -678,6 +693,24 @@ object ExtensionOps {
             queryName = s"graft_funnel_${graft.etl.ScaleUtils.pathTag(d)}")
           .groupBy("user_id")
           .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))),
-      Some(FunnelOracle))
+      Some(FunnelOracle)),
+
+    // The STREAMING twin of z20: cohort retention from an append-only
+    // flatMapGroupsWithState stream — two longs of state per user (the
+    // first-event anchor + a bitmask of week offsets already emitted),
+    // each (user, week) hit emitted exactly once across the stream's
+    // lifetime, so the downstream roll-up is the SAME retentionRollup
+    // the batch arm uses, with no dedupe step. Oracle shared with z20
+    // verbatim, pinning stream ≡ batch through the gate. Same in-order
+    // delivery contract as z21 (EventStream.retentionHits).
+    QueryDef(
+      "z22_stream_retention",
+      (s, d) => retentionRollup(
+        EventStream.runRetentionOnce(s, d, RetentionWeekUs,
+            queryName = s"graft_retention_${graft.etl.ScaleUtils.pathTag(d)}")
+          .select(col("user_id"),
+            to_date(timestamp_micros(col("first_us"))).as("cohort"),
+            col("week_offset"))),
+      Some(RetentionOracle))
   )
 }

@@ -329,6 +329,69 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Retention state: the user's first-event anchor (micros; −1 = none
+    * yet) and a bitmask of week offsets already emitted — two longs per
+    * user. The mask covers offsets 0–63 (≈15 months of rolling weeks);
+    * a production deployment tracking longer horizons shards the epoch
+    * or widens to an array, the same way it would bound any per-key
+    * state. */
+  final case class RetentionState(firstUs: Long, mask: Long)
+  final case class RetentionHit(user_id: Long, first_us: Long,
+      week_offset: Long)
+
+  /** Streaming cohort-retention hits (z22, the streaming twin of the
+    * batch z20): per user, emit (first_us, week_offset) the FIRST time
+    * any event lands in that rolling week — append-only output (each
+    * pair emits exactly once across the stream's lifetime, state
+    * remembers the emitted set as a bitmask), so the downstream
+    * roll-up needs no dedupe. Same per-user in-order delivery contract
+    * as [[funnelChain]] (a cross-batch late arrival that would move
+    * the anchor is not replayed). */
+  def retentionHits(events: Dataset[FunnelEvent],
+      weekUs: Long): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[RetentionState]) =>
+          val sorted = evs.toSeq.sortBy(e => tsMicros(e.ts))
+          var st = state.getOption.getOrElse(RetentionState(-1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+          sorted.foreach { e =>
+            val us = tsMicros(e.ts)
+            if (st.firstUs < 0) st = st.copy(firstUs = us)
+            val off = (us - st.firstUs) / weekUs
+            if (off < 64 && (st.mask & (1L << off)) == 0) {
+              st = st.copy(mask = st.mask | (1L << off))
+              out += RetentionHit(uid, st.firstUs, off)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run [[retentionHits]] to completion (AvailableNow → append-mode
+    * memory sink). */
+  def runRetentionOnce(spark: SparkSession, sfDir: String, weekUs: Long,
+      queryName: String = "event_retention",
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
+      import spark.implicits._
+      val evs = eventsStream(spark, sfDir)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[FunnelEvent]
+      val q = retentionHits(evs, weekUs).writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
   final case class SessionRow(user_id: Long, s_ms: Long, n_events: Long,
       duration_ms: Long)
 

@@ -631,6 +631,21 @@ class ExtensionsSpec extends SparkSpec {
         .count() >= entered)
     }
 
+    it("z22_stream_retention reproduces the batch retention through " +
+        "an append-only stream") {
+      val batch = graft.SparkEntry.queries("z20_retention")(spark, sf)
+        .collect().toSeq
+      val stream = graft.SparkEntry.queries("z22_stream_retention")(spark, sf)
+        .collect().toSeq
+      assert(stream == batch)
+      // append-only contract: the sink holds each (user, week) hit
+      // EXACTLY once — any duplicate would mean the bitmask state leaked
+      val hits = spark.table(
+        s"graft_retention_${graft.etl.ScaleUtils.pathTag(sf)}")
+      assert(hits.count() ==
+        hits.select("user_id", "week_offset").distinct().count())
+    }
+
     it("z20_retention matches a brute-force per-user week bucketing") {
       val weekUs = 7L * 86400 * 1000000
       val firstUs = raw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
