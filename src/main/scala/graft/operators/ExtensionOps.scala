@@ -16,11 +16,11 @@ object ExtensionOps {
     * (z21), and their common DuckDB oracle: steps view → click →
     * purchase, completion window 7 days in exact micros. Hoisted so the
     * three can never silently diverge. */
-  private val FunnelWindowUs: Long = 7L * 86400 * 1000000
+  private[graft] val FunnelWindowUs: Long = 7L * 86400 * 1000000
 
   /** Roll a per-user (t1, t2, t3) step-time frame (micros, null = step
     * not reached) into the 3-row funnel summary. */
-  private def funnelRollup(perUser: DataFrame): DataFrame =
+  private[graft] def funnelRollup(perUser: DataFrame): DataFrame =
     perUser.agg(
         count(col("t1")).as("u1"),
         count(when(col("t2").isNotNull &&
