@@ -209,11 +209,42 @@ object Bench {
       if (h == 42L) System.err.println("calib sentinel") // consume h
       (System.nanoTime() - t0) / 1e9
     }
+    // r14 (VERDICT r13 ask #1): the r13 driver legs spread 7× on
+    // multi-core/state-store queries while the SINGLE-thread calib
+    // stayed flat — competing load on the box is invisible to a
+    // 1-thread probe. Run the identical loop on `cpus` threads
+    // concurrently: quiet, its wall time ≈ the 1-thread time (each
+    // core runs one loop); contended, threads queue behind foreign
+    // load and the MT wall time inflates with it — emitted per pass
+    // as "calib_mt" so a contended leg is detectable BY RULE.
+    def calibrateMt(threads: Int): Double = {
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        val t = new Thread(() => {
+          var h = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 60_000_000) {
+            h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i
+            i += 1
+          }
+          sink.getAndAdd(h) // consume h so the loop cannot be elided
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      if (sink.get() == 42L) System.err.println("calib_mt sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val mtThreads = cpus.toInt
     calibrate() // untimed JIT warm-up of the loop itself
+    calibrateMt(mtThreads) // and of the threaded variant
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibsMt = scala.collection.mutable.ArrayBuffer.empty[Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val perRep: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
       calibs += calibrate()
+      calibsMt += calibrateMt(mtThreads)
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { Force(fn(spark, sfDir)) } catch {
@@ -238,18 +269,37 @@ object Bench {
     val totals = perRep.map(_.map(_._2).sum)
     val totalMed = median(totals)
     def f3(v: Double) = f(v, 3)
+    // Contention-robust headline (VERDICT r13 ask #1): for a
+    // deterministic steady-state workload the per-query MIN of the N
+    // legs is the statistic box load cannot inflate — foreign load
+    // only ever ADDS time, so min-of-legs converges on the engine's
+    // true cost while the median is hostage to how many legs the
+    // contention landed on. "value_min" = the sum of per-query mins
+    // (the best-case full suite), emitted in BOTH lines; per-query
+    // mins ride in "queries_min" on the full-precision line (the
+    // [min,max] spread already carries them, but flat is greppable).
+    val queryMins: Seq[(String, Double)] = byQuery.map { case (n, ts) =>
+      n -> ts.min
+    }
+    val totalMinLegs = queryMins.map(_._2).sum
     val extraFailed = s""","failed":${failed.size}"""
     val extraReps = s""","n":$reps,"min":${f3(totals.min)}""" +
-      s""","max":${f3(totals.max)}"""
+      s""","max":${f3(totals.max)}""" +
+      s""","value_min":${f3(totalMinLegs)}"""
     // per-query spread for the full-precision line only (no byte budget)
     val spreadJson = byQuery.map { case (n, ts) =>
       jstr(n) + s":[${f3(ts.min)},${f3(ts.max)}]"
     }.mkString(""","query_spread":{""", ",", "}")
+    val queryMinJson = queryMins.map { case (n, v) => jstr(n) + ":" + f3(v) }
+      .mkString(""","queries_min":{""", ",", "}")
     val calibJson = calibs.map(f3)
-      .mkString(""","calib":[""", ",", "]")
+      .mkString(""","calib":[""", ",", "]") +
+      calibsMt.map(f3).mkString(s""","calib_mt":[""", ",", "]") +
+      s""","calib_mt_threads":$mtThreads"""
     val full = renderLine(results, sfName, 3,
       extraFailed + extraReps + failedNamesJson(failed.toSeq) +
-        fixtureBackedJson + spreadJson + calibJson, total = totalMed)
+        fixtureBackedJson + spreadJson + queryMinJson + calibJson,
+      total = totalMed)
     println(full)
     if (failed.nonEmpty)
       System.err.println(s"bench failures: ${failed.mkString(", ")}")

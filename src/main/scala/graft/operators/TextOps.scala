@@ -21,6 +21,44 @@ import graft.{QueryDef, Tables => T}
   */
 object TextOps {
 
+  /** Conf key for RELIABLE lineage truncation in the iterative loops
+    * ([[connectedComponents]], [[pageRank]]). Unset (default): per-round
+    * `localCheckpoint` — zero extra I/O, but the truncated blocks live
+    * on executor local storage, so on a real cluster an executor loss
+    * mid-iteration kills the query (acceptable for ~10 bounded rounds;
+    * the round just reruns). Set to a durable directory (HDFS/object
+    * store on a cluster): per-round `checkpoint()` writes each round's
+    * frame there and recovery survives executor loss — the same
+    * conf-driven infrastructure dial as the state-store provider rule
+    * (VERDICT r13 ask #4). Cost is one distributed write + read per
+    * round, measured in BENCH_SCALES §r14. */
+  val ReliableCheckpointKey = "spark.graft.checkpoint.dir"
+
+  /** Truncate lineage at an iteration boundary: reliable `checkpoint()`
+    * when [[ReliableCheckpointKey]] names a directory, executor-local
+    * `localCheckpoint` otherwise. Both are EAGER — the loops depend on
+    * the round's frame being materialized exactly once. Result rows are
+    * identical either way (CheckpointModeSpec pins it); only the storage
+    * of the truncation point moves. */
+  private[graft] def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ReliableCheckpointKey)
+      .orElse(df.sparkSession.sparkContext.getConf
+        .getOption(ReliableCheckpointKey)) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir creates a fresh UUID subdir per call — only
+        // (re)set when the configured root actually changed, so every
+        // round of a loop shares one directory tree
+        val current = sc.getCheckpointDir
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified = p.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(p).toString
+        if (!current.exists(_.startsWith(qualified)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+
   /** Whitespace tokens of the trimmed text (empty text → single empty
     * token, matching DuckDB regexp_split_to_array semantics). */
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
@@ -565,17 +603,17 @@ object TextOps {
 
   def connectedComponents(edges: DataFrame,
       driverMaxEdges: Long = Long.MaxValue): DataFrame = {
-    // localCheckpoint truncates lineage every round. Without it the
-    // round-r logical plan nests the round-(r−1) plan on BOTH sides of
-    // the pointer-jump self-join — plan size doubles per round and
+    // truncate() cuts lineage every round. Without it the round-r
+    // logical plan nests the round-(r−1) plan on BOTH sides of the
+    // pointer-jump self-join — plan size doubles per round and
     // Catalyst re-optimization time grows exponentially (measured: the
     // dup graph converges in 3 rounds, but round 3 alone cost ~10 s of
-    // pure driver planning). A multi-tenant cluster deployment would use
-    // reliable checkpoint(dir) for fault tolerance; the algorithm is
-    // identical.
+    // pure driver planning). A multi-tenant cluster deployment sets
+    // ReliableCheckpointKey to a durable dir for executor-loss
+    // fault tolerance; the algorithm is identical either mode.
     // checkpoint the edge list BEFORE the bidirectional union — the
     // (possibly expensive) edge producer runs once, not once per branch
-    val e0 = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val e0 = truncate(edges.select(col("doc_a"), col("doc_b")))
     // Scale-adaptive strategy (the checkpoint makes the count free):
     // a near-dup edge list is VASTLY smaller than the corpus that
     // produced it, and union-find over collected (long, long) pairs is
@@ -633,14 +671,12 @@ object TextOps {
       lastCcRounds = -1
       return labeled.toDF("doc_id", "component")
     }
-    val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
+    val bi = truncate(e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     // seed with min(self, neighbors) — the first propagation round for
     // the price of one groupBy, no join against an identity labeling
-    var labels = bi.groupBy("u")
-      .agg(least(col("u"), min(col("v"))).as("lbl"))
-      .localCheckpoint(true)
+    var labels = truncate(bi.groupBy("u")
+      .agg(least(col("u"), min(col("v"))).as("lbl")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 40) {
@@ -656,12 +692,11 @@ object TextOps {
           least(col("lbl"), col("nlbl")).as("lbl1"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: adopt the label of the current label
-      val jumped = prop
+      val jumped = truncate(prop
         .join(prop.select(col("u").as("lbl1"), col("lbl1").as("plbl")),
           Seq("lbl1"), "left")
         .select(col("u"), col("old"),
-          coalesce(col("plbl"), col("lbl1")).as("lbl"))
-        .localCheckpoint(true)
+          coalesce(col("plbl"), col("lbl1")).as("lbl")))
       val moved = jumped.filter(col("lbl") =!= col("old")).limit(1).count()
       prop.unpersist()
       labels = jumped.select("u", "lbl")
@@ -1984,24 +2019,22 @@ object TextOps {
     * in-degree ≥ 1, so no dangling-node term is needed. Ranks are
     * rounded to 6 dp per iteration: both the engine and the DuckDB
     * oracle then iterate on identical inputs, so summation order can
-    * never drift the hash compare. `localCheckpoint` truncates lineage
-    * each round (same rationale as [[connectedComponents]]). */
+    * never drift the hash compare. [[truncate]] cuts lineage each
+    * round (same rationale as [[connectedComponents]]; set
+    * [[ReliableCheckpointKey]] for the executor-loss-safe mode). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val e0 = edges.localCheckpoint(true)
-    val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
-    val deg = bi.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val e0 = truncate(edges)
+    val bi = truncate(e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(e0.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    val deg = truncate(bi.groupBy("u").agg(count(lit(1)).as("d")))
     val n = deg.count()
-    var pr = deg.select(col("u"), round(lit(1.0) / n, 6).as("r"))
-      .localCheckpoint(true)
+    var pr = truncate(deg.select(col("u"), round(lit(1.0) / n, 6).as("r")))
     for (_ <- 1 to iters) {
-      pr = bi.join(pr, Seq("u")).join(deg, Seq("u"))
+      pr = truncate(bi.join(pr, Seq("u")).join(deg, Seq("u"))
         .groupBy(col("v"))
         .agg(round(lit(1.0 - damping) / n +
           lit(damping) * sum(col("r") / col("d")), 6).as("r"))
-        .select(col("v").as("u"), col("r"))
-        .localCheckpoint(true)
+        .select(col("v").as("u"), col("r")))
     }
     pr.select(col("u").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
   }
