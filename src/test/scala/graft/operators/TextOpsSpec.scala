@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{SparkSpec, Tables => T}
 import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
 
 /** Scale-shape evidence for the MinHash+LSH dedup path: the banded
   * candidate set must grow sub-quadratically in the corpus size —
@@ -493,5 +494,41 @@ class TextOpsSpec extends SparkSpec {
       assert(nHll > 0 && math.abs(nHll - nExact) / nExact < 0.26,
         s"$src: hll $nHll vs exact $nExact")
     }
+  }
+
+  it("x34's per-shard register fixture merges to the global registers " +
+      "bit-for-bit, and the merge absorbs shard replays") {
+    // the 100 TB contract behind cachedHllRegisters (VERDICT r13 ask
+    // #5): per-ingest-shard register frames merged by max(rmax) must
+    // equal the registers of one global pass — max is associative,
+    // commutative, AND idempotent, so shard order, shard count, and
+    // at-least-once shard replays all collapse to the same sketch
+    val sf = "/root/testdata/sf0.001"
+    val sharded = TextOps.cachedHllRegisters(spark, sf)
+    assert(sharded.select("shard").distinct().count() > 1,
+      "fixture must actually hold multiple shards")
+    val merged = sharded.groupBy("source", "bkt")
+      .agg(max("rmax").as("rmax"))
+    // global single-pass registers, computed independently of the fixture
+    val global = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tk"))
+      .select(col("source"),
+        graft.functions.PolyHash64.polyhash64(col("tk")).as("h"))
+      .select(col("source"), expr("shiftrightunsigned(h, 56)").as("bkt"),
+        (col("h").bitwiseAND(lit((1L << 56) - 1))).as("x"))
+      .select(col("source"), col("bkt"),
+        when(col("x") === 0, lit(57L))
+          .otherwise(lit(56L) - floor(log2(col("x")))).as("rho"))
+      .groupBy("source", "bkt").agg(max("rho").as("rmax"))
+    assert(merged.count() > 0)
+    assert(merged.except(global).count() == 0 &&
+      global.except(merged).count() == 0,
+      "shard-merged registers must equal the global single-pass registers")
+    // replay absorption: duplicating every shard frame changes nothing
+    val replayed = sharded.unionAll(sharded)
+      .groupBy("source", "bkt").agg(max("rmax").as("rmax"))
+    assert(replayed.except(merged).count() == 0 &&
+      merged.except(replayed).count() == 0)
   }
 }
