@@ -679,8 +679,9 @@ object ExtensionOps {
 
     // The STREAMING twin of z19: the same ordered funnel computed by a
     // per-user mapGroupsWithState state machine over a real micro-batch
-    // execution — three longs of state per user, eviction armed at
-    // t1 + window (past it the windowed counts are final). Update-mode
+    // execution — three longs of state per user, FINALIZED (closed
+    // tombstone, r14 — never evicted, so re-entry cannot re-anchor) at
+    // t1 + window, past which the windowed counts are final. Update-mode
     // re-emissions carry a MONOTONE triple whose fields never change
     // once set, so the per-user reduce is a plain max() aggregation; the
     // 3-row roll-up and the DuckDB oracle are shared with z19 verbatim,
