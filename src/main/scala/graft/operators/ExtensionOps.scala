@@ -712,6 +712,62 @@ object ExtensionOps {
           .select(col("user_id"),
             to_date(timestamp_micros(col("first_us"))).as("cohort"),
             col("week_offset"))),
-      Some(RetentionOracle))
+      Some(RetentionOracle)),
+
+    // Streaming HLL distinct-user sketch per event type (z23): the
+    // ORDER-ROBUST member of the streaming family, and the sketch
+    // family's streaming face. The whole stateful computation is one
+    // DECLARATIVE streaming aggregation — groupBy(event_type, bkt)
+    // .max(rho) — so Spark partial-aggregates map-side (each micro-
+    // batch ships at most types × 256 register rows into the state
+    // store, never the event volume) and state is BOUNDED BY DESIGN at
+    // one long per (type, bucket): no watermark, no eviction, no
+    // timeout needed, ever. Because max is commutative and idempotent,
+    // the result is IDENTICAL under any delivery order, any batch
+    // split, and any replay — the exact opposite contract to the
+    // funnel/retention state machines (which need per-user in-order
+    // delivery and carry breach counters for it): this is the shape to
+    // reach for when a streaming metric can tolerate a sketch.
+    // Update-mode re-emissions are folded by re-taking max — the same
+    // idempotence again. The estimate arithmetic and the DuckDB oracle
+    // CTEs are SHARED with x34 (TextOps.hllEstimate/hllOracleCtes), so
+    // the two sketches can never drift; the exact-distinct control arm
+    // rides along batch-side like x34's.
+    QueryDef(
+      "z23_stream_hll",
+      (s, d) => {
+        val regs = TextOps.hllBktRho(
+          EventStream.eventsStream(s, d)
+            .select(col("event_type"),
+              graft.functions.PolyHash64
+                .polyhash64(col("user_id").cast("string")).as("h")),
+          "event_type")
+          .groupBy("event_type", "bkt").agg(max("rho").as("rmax"))
+        val emitted = EventStream.runUpdateAggOnce(s, regs,
+          queryName = s"graft_hll_${graft.etl.ScaleUtils.pathTag(d)}")
+        val est = TextOps.hllEstimate(
+          emitted.groupBy("event_type", "bkt").agg(max("rmax").as("rmax")),
+          "event_type")
+        val exact = EventStream.readEvents(s, d)
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_exact"))
+        exact.join(est, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("n_hll"),
+            round((col("n_hll") - col("n_exact")) / col("n_exact") * 100, 2)
+              .as("err_pct"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH tok AS (SELECT event_type,
+           |         ${TextOps.sqlToSigned(TextOps.polySqlUnsigned(
+                "CAST(user_id AS VARCHAR)"))} AS h
+           |       FROM events),
+           |${TextOps.hllOracleCtes("event_type")},
+           |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           |       FROM events GROUP BY 1)
+           |SELECT ex.event_type, n_exact, n_hll,
+           |       round((n_hll - n_exact) / n_exact * 100, 2) AS err_pct
+           |FROM ex JOIN hll USING (event_type)
+           |ORDER BY event_type""".stripMargin))
   )
 }

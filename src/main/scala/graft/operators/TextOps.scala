@@ -86,7 +86,7 @@ object TextOps {
     * [[sqlToSigned]] for the signed-BIGINT view the native expression
     * returns. Bit-exact parity is locked by FunctionsSpec (Scala↔SQL)
     * and check_oracle (Spark↔DuckDB). */
-  private def polySqlUnsigned(tok: String): String =
+  private[operators] def polySqlUnsigned(tok: String): String =
     s"""(list_reduce(list_prepend(
        |       CAST(6364136223846793005 AS HUGEINT),
        |       [CAST(unicode(c) AS HUGEINT)
@@ -96,7 +96,7 @@ object TextOps {
        |     * 6364136223846793005) % 18446744073709551616""".stripMargin
 
   /** Two's-complement reinterpretation of a [0, 2⁶⁴) HUGEINT as BIGINT. */
-  private def sqlToSigned(v: String): String =
+  private[operators] def sqlToSigned(v: String): String =
     s"""CAST(CASE WHEN $v >= 9223372036854775808
        |     THEN $v - 18446744073709551616 ELSE $v END AS BIGINT)""".stripMargin
 
@@ -410,6 +410,78 @@ object TextOps {
     * partitioning. */
   private[operators] val HllShards = 16
 
+  /** Bucket/rank columns of the HLL sketch from a polyhash column
+    * `h`: `bkt` = top 8 bits, `rho` = leftmost-1 position of the
+    * remaining 56 (57 when they are all zero). Carry columns pass
+    * through untouched. rho goes through floor(log2(double)) — the
+    * identical IEEE long→double rounding the DuckDB oracle takes. */
+  private[operators] def hllBktRho(df: DataFrame,
+      carry: String*): DataFrame = {
+    val c = carry.map(col)
+    df.select(c :+ expr("shiftrightunsigned(h, 56)").as("bkt") :+
+        (col("h").bitwiseAND(lit((1L << 56) - 1))).as("x"): _*)
+      .select(c :+ col("bkt") :+
+        when(col("x") === 0, lit(57L))
+          .otherwise(lit(56L) - floor(log2(col("x")))).as("rho"): _*)
+  }
+
+  /** Bias-corrected HLL estimate per `key` from a register frame
+    * `(key, bkt, rmax)` (only HIT buckets present): the standard
+    * alpha·m² / Σ2^-rmax harmonic mean with the linear-counting
+    * small-range branch, rounded to 4 dp (a double sum of ≤ 256 exact
+    * powers of two has an order tail ~1e-16, never near the 5e-5
+    * boundary). Shared by x34 (token distinct per source) and z23
+    * (streamed user distinct per event type) so the two sketches can
+    * never drift apart. */
+  private[operators] def hllEstimate(regs: DataFrame,
+      key: String): DataFrame = {
+    val m = HllM
+    val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+    regs.groupBy(key)
+      .agg(sum(pow(lit(2.0), -col("rmax"))).as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col(key),
+        (col("sp") + (lit(m.toDouble) - col("nb"))).as("sumpow"),
+        (lit(m.toLong) - col("nb")).as("v"))
+      .select(col(key),
+        round(when(col("v") > 0 &&
+          lit(alphaMM) / col("sumpow") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(lit(alphaMM) / col("sumpow")), 4).as("n_hll"))
+  }
+
+  /** DuckDB mirror of the [[hllBktRho]]→registers→[[hllEstimate]]
+    * chain over a CTE `tok(key, h)` of signed polyhashes — the shared
+    * oracle skeleton of x34 and z23. Emits CTEs `regs(key, bkt, rmax)`
+    * and `hll(key, n_hll)`. */
+  private[operators] def hllOracleCtes(key: String): String = {
+    val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+    s"""u AS (SELECT $key,
+       |        CASE WHEN h < 0
+       |          THEN CAST(h AS HUGEINT) + 18446744073709551616
+       |          ELSE CAST(h AS HUGEINT) END AS uh
+       |      FROM tok),
+       |r AS (SELECT $key,
+       |        CAST(uh // 72057594037927936 AS BIGINT) AS bkt,
+       |        CAST(uh % 72057594037927936 AS BIGINT) AS x
+       |      FROM u),
+       |rho AS (SELECT $key, bkt,
+       |          CASE WHEN x = 0 THEN CAST(57 AS BIGINT)
+       |            ELSE 56 - CAST(floor(log2(x)) AS BIGINT) END AS rho
+       |        FROM r),
+       |regs AS (SELECT $key, bkt, max(rho) AS rmax
+       |         FROM rho GROUP BY 1, 2),
+       |est AS (SELECT $key,
+       |          sum(pow(2.0, -rmax)) + (256.0 - count(*)) AS sumpow,
+       |          256 - count(*) AS v
+       |        FROM regs GROUP BY 1),
+       |hll AS (SELECT $key,
+       |          round(CASE WHEN v > 0 AND $alphaMM / sumpow <= 640.0
+       |            THEN 256.0 * ln(256.0 / v)
+       |            ELSE $alphaMM / sumpow END, 4) AS n_hll
+       |        FROM est)""".stripMargin
+  }
+
   /** Per-dataset persisted PER-SHARD HLL register frame
     * `(source, shard, bkt, rmax)` — ≤ sources × [[HllShards]] × 256
     * rows, the pay-once mergeable sketch layout (VERDICT r13 ask #5):
@@ -426,17 +498,14 @@ object TextOps {
     * unchanged from the corpus-recomputing formulation. */
   def cachedHllRegisters(spark: SparkSession, d: String): DataFrame =
     hllRegisterCache.getOrElseUpdate(d, {
-      T.documents(spark, d)
-        .select(col("source"), pmod(col("doc_id"), lit(HllShards.toLong))
-          .as("shard"), explode(tokens(col("text"))).as("tk"))
-        .select(col("source"), col("shard"),
-          graft.functions.PolyHash64.polyhash64(col("tk")).as("h"))
-        .select(col("source"), col("shard"),
-          expr("shiftrightunsigned(h, 56)").as("bkt"),
-          (col("h").bitwiseAND(lit((1L << 56) - 1))).as("x"))
-        .select(col("source"), col("shard"), col("bkt"),
-          when(col("x") === 0, lit(57L))
-            .otherwise(lit(56L) - floor(log2(col("x")))).as("rho"))
+      hllBktRho(
+          T.documents(spark, d)
+            .select(col("source"),
+              pmod(col("doc_id"), lit(HllShards.toLong)).as("shard"),
+              explode(tokens(col("text"))).as("tk"))
+            .select(col("source"), col("shard"),
+              graft.functions.PolyHash64.polyhash64(col("tk")).as("h")),
+          "source", "shard")
         .groupBy("source", "shard", "bkt").agg(max("rho").as("rmax"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
@@ -1984,76 +2053,37 @@ object TextOps {
     QueryDef(
       "x34_hll_distinct",
       (s, d) => {
-        val m = HllM
-        val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
         // sketch arm: MERGE the pay-once per-shard register fixture by
         // max(rmax) — the corpus is never touched for the estimate
         // (r14, VERDICT r13 ask #5); see cachedHllRegisters
-        val regs = cachedHllRegisters(s, d)
-          .groupBy("source", "bkt").agg(max("rmax").as("rmax"))
+        val est = hllEstimate(cachedHllRegisters(s, d)
+          .groupBy("source", "bkt").agg(max("rmax").as("rmax")), "source")
         // exact-distinct CONTROL arm (the one a 100 TB run drops):
         // still a full token scan by construction
-        val tok = T.documents(s, d)
+        val exact = T.documents(s, d)
           .select(col("source"), explode(tokens(col("text"))).as("tk"))
           .select(col("source"),
             graft.functions.PolyHash64.polyhash64(col("tk")).as("h"))
-        val est = regs.groupBy("source")
-          .agg(sum(pow(lit(2.0), -col("rmax"))).as("sp"),
-            count(lit(1)).as("nb"))
-          .select(col("source"),
-            (col("sp") + (lit(m.toDouble) - col("nb"))).as("sumpow"),
-            (lit(m.toLong) - col("nb")).as("v"))
-          .select(col("source"),
-            round(when(col("v") > 0 &&
-              lit(alphaMM) / col("sumpow") <= lit(2.5 * m),
-              lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
-              .otherwise(lit(alphaMM) / col("sumpow")), 4).as("n_hll"))
-        val exact = tok.groupBy("source")
-          .agg(countDistinct("h").as("n_exact"))
+          .groupBy("source").agg(countDistinct("h").as("n_exact"))
         exact.join(est, Seq("source"))
           .select(col("source"), col("n_exact"), col("n_hll"),
             round((col("n_hll") - col("n_exact")) / col("n_exact") * 100, 2)
               .as("err_pct"))
           .orderBy("source")
       },
-      Some({
-        val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+      Some(
         s"""WITH tok AS (SELECT source,
            |         ${sqlToSigned(polySqlUnsigned("x"))} AS h
            |       FROM (SELECT source,
            |               unnest(string_split_regex(trim(text), '\\s+')) AS x
            |             FROM documents)),
-           |u AS (SELECT source,
-           |        CASE WHEN h < 0
-           |          THEN CAST(h AS HUGEINT) + 18446744073709551616
-           |          ELSE CAST(h AS HUGEINT) END AS uh
-           |      FROM tok),
-           |r AS (SELECT source,
-           |        CAST(uh // 72057594037927936 AS BIGINT) AS bkt,
-           |        CAST(uh % 72057594037927936 AS BIGINT) AS x
-           |      FROM u),
-           |rho AS (SELECT source, bkt,
-           |          CASE WHEN x = 0 THEN CAST(57 AS BIGINT)
-           |            ELSE 56 - CAST(floor(log2(x)) AS BIGINT) END AS rho
-           |        FROM r),
-           |regs AS (SELECT source, bkt, max(rho) AS rmax
-           |         FROM rho GROUP BY 1, 2),
-           |est AS (SELECT source,
-           |          sum(pow(2.0, -rmax)) + (256.0 - count(*)) AS sumpow,
-           |          256 - count(*) AS v
-           |        FROM regs GROUP BY 1),
-           |hll AS (SELECT source,
-           |          round(CASE WHEN v > 0 AND $alphaMM / sumpow <= 640.0
-           |            THEN 256.0 * ln(256.0 / v)
-           |            ELSE $alphaMM / sumpow END, 4) AS n_hll
-           |        FROM est),
+           |${hllOracleCtes("source")},
            |ex AS (SELECT source, count(DISTINCT h) AS n_exact FROM tok
            |       GROUP BY 1)
            |SELECT ex.source, n_exact, n_hll,
            |       round((n_hll - n_exact) / n_exact * 100, 2) AS err_pct
            |FROM ex JOIN hll USING (source)
-           |ORDER BY source""".stripMargin
-      }))
+           |ORDER BY source""".stripMargin))
   )
 
   /** Distributed PageRank over an undirected edge list: per iteration,

@@ -158,7 +158,7 @@ object EventStream {
     * stream, so stream the directory itself. Layout is probed through
     * the Hadoop FileSystem of the path, not java.io.File, so object
     * stores resolve the same way. */
-  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     nanosConf(spark)
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -179,6 +179,25 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
   }
+
+  /** Run an UPDATE-mode streaming aggregation to completion
+    * (AvailableNow → memory sink) and return the sink table. Update
+    * mode re-emits a group's row whenever a batch changes it, so the
+    * caller folds re-emissions with an idempotent reduce (z23 re-takes
+    * max over the emitted register rows). Generic on purpose: the
+    * stateful work is declarative (a streaming groupBy.agg with map-
+    * side partial aggregation), not a custom state machine. */
+  def runUpdateAggOnce(spark: SparkSession,
+      df: org.apache.spark.sql.Dataset[_], queryName: String,
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
+      val q = df.writeStream.format("memory").queryName(queryName)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String)

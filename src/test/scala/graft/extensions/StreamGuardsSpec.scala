@@ -108,6 +108,41 @@ class StreamGuardsSpec extends SparkSpec {
     }
   }
 
+  describe("the two late-data layers: Spark's watermark filter vs the guards") {
+
+    it("a SUB-watermark late event is dropped by Spark before the state " +
+        "machine (numRowsDroppedByWatermark), invisible to the guards") {
+      // pins the layering claim in SCALE.md: the guards see exactly the
+      // rows the watermark ADMITS; rows at-or-below the watermark never
+      // reach funnelChain at all, and Spark accounts them in the state
+      // operator's numRowsDroppedByWatermark metric instead
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStream.FunnelEvent]
+      val guards = EventStream.StreamGuards(spark, "t_guard_wm")
+      val q = EventStream.funnelChain(
+          mem.toDS().withWatermark("ts", "0 seconds"),
+          7L * 86400 * 1000000, guards)
+        .writeStream.format("memory").queryName("t_guard_wm")
+        .outputMode("update").start()
+      try {
+        mem.addData(fe(1, 100000, "view")) // watermark advances to 100 s
+        q.processAllAvailable()
+        mem.addData(fe(1, 5000, "view")) // 5 s << watermark: sub-watermark
+        q.processAllAvailable()
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        assert(dropped >= 1,
+          s"Spark's own filter must account the sub-watermark row, " +
+            s"got $dropped")
+        assert(guards.anchorViolations.value == 0 &&
+          guards.outOfOrder.value == 0,
+          "the guards must never see a row the watermark already dropped")
+      } finally q.stop()
+    }
+  }
+
   describe("funnel through the production foreachBatch JDBC terminal") {
 
     it("recovers the funnel across a checkpoint restart and reproduces " +

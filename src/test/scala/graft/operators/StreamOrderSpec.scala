@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Delivery-order contracts verified on a REAL time-shuffled multi-part
+  * file layout (ADVICE r13: the in-order assumption was only ever
+  * exercised on layouts that happened to deliver in order). The fixture
+  * splits the events corpus at the median timestamp and arranges the
+  * file source to deliver the LATER half first (modification times
+  * control FileStreamSource's batch order; maxFilesPerTrigger=1 forces
+  * one file per micro-batch), so every earlier-half event arrives
+  * cross-batch out-of-order:
+  *  - z23's declarative register aggregation must be IDENTICAL to the
+  *    in-order result — max over (event_type, bkt) is commutative and
+  *    idempotent, so the sketch is order-robust by construction;
+  *  - the funnel state machine must DETECT the breach (guards fire)
+  *    while keeping its documented first-delivered-anchor semantics.
+  */
+class StreamOrderSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Build `<root>/events.parquet/` holding the corpus split in two
+    * part files, with the LATER half carrying the OLDER mod-time so the
+    * file source delivers it first. Returns the root dir. */
+  private lazy val shuffledRoot: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-shuffled")
+    val target = root.resolve("events.parquet")
+    java.nio.file.Files.createDirectory(target)
+    val events = EventStream.readEvents(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cut = events.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0)(0)
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String,
+        modMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-half")
+      events.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = target.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modMs))
+    }
+    val t0 = 1600000000000L // fixed epoch base: deterministic ordering
+    writeHalf(unix_micros(col("ts")) > cut, "part-0-later.parquet", t0)
+    writeHalf(unix_micros(col("ts")) <= cut, "part-1-earlier.parquet",
+      t0 + 60000)
+    root.toString
+  }
+
+  private def shuffledStream = {
+    // same reader shape as EventStream.eventsStream, plus the
+    // one-file-per-batch option that makes the shuffle observable
+    val path = s"$shuffledRoot/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+  }
+
+  it("z23's register sketch is bit-identical under out-of-order " +
+      "multi-batch delivery (max is commutative + idempotent)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val regsStream = TextOps.hllBktRho(
+      shuffledStream.select(col("event_type"),
+        graft.functions.PolyHash64
+          .polyhash64(col("user_id").cast("string")).as("h")),
+      "event_type")
+      .groupBy("event_type", "bkt").agg(max("rho").as("rmax"))
+    val q = regsStream.writeStream.format("memory")
+      .queryName("t_order_hll").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "fixture must actually deliver in >= 2 micro-batches")
+    val streamed = spark.table("t_order_hll")
+      .groupBy("event_type", "bkt").agg(max("rmax").as("rmax"))
+    // in-order single-pass truth, straight from the batch reader
+    val batch = TextOps.hllBktRho(
+      EventStream.readEvents(spark, sf)
+        .select(col("event_type"),
+          graft.functions.PolyHash64
+            .polyhash64(col("user_id").cast("string")).as("h")),
+      "event_type")
+      .groupBy("event_type", "bkt").agg(max("rho").as("rmax"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "shuffled-delivery registers must equal the in-order registers")
+  }
+
+  it("the funnel detects the same layout as a contract breach instead " +
+      "of silently diverging") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val guards = EventStream.StreamGuards(spark, "t_order_funnel")
+    // huge watermark delay: the late half must stay ABOVE the watermark
+    // (sub-watermark rows are dropped by Spark itself before the state
+    // machine — that layer is observable as numRowsDroppedByWatermark,
+    // not through the guards)
+    val evs = shuffledStream
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", "3650 days")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventStream.FunnelEvent]
+    val q = EventStream.funnelChain(evs, 7L * 86400 * 1000000, guards)
+      .writeStream.format("memory").queryName("t_order_funnel")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(guards.outOfOrder.value > 0,
+      "every earlier-half event arrives below the later half's max — " +
+        "the out-of-order counter must see the layout")
+    assert(guards.anchorViolations.value > 0,
+      "earlier-half views below already-fixed anchors must be counted")
+    // the documented semantics hold: u1 (any view anchors, order-free)
+    // matches batch; deeper steps may legitimately diverge — that is
+    // exactly what the nonzero counters certify
+    val streamedU1 = spark.table("t_order_funnel")
+      .groupBy("user_id").agg(max("t1").as("t1"))
+      .filter(col("t1").isNotNull).count()
+    val batchU1 = EventStream.readEvents(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(streamedU1 == batchU1,
+      s"funnel entry count must be order-free: $streamedU1 vs $batchU1")
+  }
+}
