@@ -238,16 +238,37 @@ object Bench {
       if (sink.get() == 42L) System.err.println("calib_mt sentinel")
       (System.nanoTime() - t0) / 1e9
     }
+    // r14 follow-up: two same-HEAD 5-leg runs two hours apart read
+    // 74.7 vs 93.4 s with BOTH cpu calibs flat — on a VM the remaining
+    // invisible contention axes are hypervisor steal and iowait, which
+    // /proc/stat exposes directly. Sample the aggregate cpu line
+    // before/after each timed pass and emit the pass's steal% and
+    // iowait% ("steal_pct"/"iowait_pct") — nonzero steal is the
+    // hypervisor neighbor, nonzero iowait is disk contention; both
+    // adjudicate a slow leg without guessing. Linux-only by contract
+    // (the bench host); absent /proc reads as zeros.
+    def cpuStat(): (Long, Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal ...
+      val total = f.sum
+      (total, if (f.length > 4) f(4) else 0L, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+    def pct(d: Long, t: Long): Double = if (t <= 0) 0.0 else d * 100.0 / t
     val mtThreads = cpus.toInt
     calibrate() // untimed JIT warm-up of the loop itself
     calibrateMt(mtThreads) // and of the threaded variant
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibsMt = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val steals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val iowaits = scala.collection.mutable.ArrayBuffer.empty[Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val perRep: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
       calibs += calibrate()
       calibsMt += calibrateMt(mtThreads)
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val (t0s, io0, st0) = cpuStat()
+      val rep = SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { Force(fn(spark, sfDir)) } catch {
           case t: Throwable =>
@@ -256,6 +277,10 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      val (t1s, io1, st1) = cpuStat()
+      steals += pct(st1 - st0, t1s - t0s)
+      iowaits += pct(io1 - io0, t1s - t0s)
+      rep
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -297,7 +322,9 @@ object Bench {
     val calibJson = calibs.map(f3)
       .mkString(""","calib":[""", ",", "]") +
       calibsMt.map(f3).mkString(s""","calib_mt":[""", ",", "]") +
-      s""","calib_mt_threads":$mtThreads"""
+      s""","calib_mt_threads":$mtThreads""" +
+      steals.map(v => f(v, 2)).mkString(""","steal_pct":[""", ",", "]") +
+      iowaits.map(v => f(v, 2)).mkString(""","iowait_pct":[""", ",", "]")
     val full = renderLine(results, sfName, 3,
       extraFailed + extraReps + failedNamesJson(failed.toSeq) +
         fixtureBackedJson + spreadJson + queryMinJson + calibJson,
