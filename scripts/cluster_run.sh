@@ -34,7 +34,10 @@ export SPARK_GRAFT_MASTER="$MASTER"
 # launcher (AbstractCommandBuilder.getScalaVersion) needs it when spawned
 # from a bare-java driver, else "Cannot find any build directories".
 export SPARK_SCALA_VERSION=2.13
+# GRAFT_JAVA_OPTS: extra -D flags for probe arms (e.g. the reliable-
+# checkpoint mode: GRAFT_JAVA_OPTS=-Dspark.graft.checkpoint.dir=/tmp/x)
 exec java -Xmx"$XMX" $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dspark.executor.memory="$EXEC_MEM" \
+  ${GRAFT_JAVA_OPTS:-} \
   -cp "$CP" "$MAIN" "$@"
