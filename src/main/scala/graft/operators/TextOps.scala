@@ -320,6 +320,7 @@ object TextOps {
     verifiedPairsCache.clearForTest()
     gramCountCache.clearForTest()
     hllRegisterCache.clearForTest()
+    cmsSketchCache.clearForTest()
     bloomCache.clear()
   }
 
@@ -507,6 +508,53 @@ object TextOps {
               graft.functions.PolyHash64.polyhash64(col("tk")).as("h")),
           "source", "shard")
         .groupBy("source", "shard", "bkt").agg(max("rho").as("rmax"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val cmsSketchCache = new graft.etl.DfCache
+
+  /** Count-min sketch geometry (x35): d = 4 rows × w = 8192 columns.
+    * Row hashes derive from ONE portable polyhash per token by the
+    * classic (h1 + j·h2) mod w family (h1/h2 = the hash's low/high 32
+    * bits), so every operation is exact integer arithmetic the DuckDB
+    * oracle replays bit-for-bit — h1 + 3·h2 < 2³⁴ never overflows a
+    * long under ANSI mode. Standard guarantee: overestimate-only, with
+    * P(err > (e/w)·N) ≤ e^-d per query. */
+  private[operators] val CmsW = 8192
+  private[operators] val CmsD = 4
+
+  /** The d cells `(rw, cl)` a hash column `h` touches, as an exploded
+    * struct column (shared by the sketch build and the probe side so
+    * the two can never disagree on the hash family). */
+  private def cmsCells: Column = explode(array((0 until CmsD).map { j =>
+    struct(lit(j).as("rw"),
+      pmod(col("h").bitwiseAND(lit(4294967295L)) +
+        lit(j.toLong) * expr("shiftrightunsigned(h, 32)"),
+        lit(CmsW.toLong)).as("cl"))
+  }: _*))
+
+  /** Per-dataset persisted PER-SHARD count-min sketch
+    * `(shard, rw, cl, cnt)` — ≤ [[HllShards]] × d × w rows, the
+    * pay-once mergeable FREQUENCY twin of [[cachedHllRegisters]]: each
+    * ingest shard folds its token stream into d·w counters map-side
+    * (one Generate of d cells per token, then a partial-sum groupBy),
+    * the tiny frames persist, and frequency queries merge them by
+    * `sum(cnt)` without touching the corpus. The merge contrast with
+    * HLL matters operationally: sum is associative and commutative
+    * (shard merge ≡ global sketch, shard order free) but NOT
+    * idempotent — a replayed shard double-counts, so the CMS fixture
+    * needs exactly-once shard ingestion where the HLL registers
+    * tolerate at-least-once (CmsSpec pins both directions). */
+  def cachedCmsSketch(spark: SparkSession, d: String): DataFrame =
+    cmsSketchCache.getOrElseUpdate(d, {
+      T.documents(spark, d)
+        .select(pmod(col("doc_id"), lit(HllShards.toLong)).as("shard"),
+          explode(tokens(col("text"))).as("tk"))
+        .select(col("shard"),
+          graft.functions.PolyHash64.polyhash64(col("tk")).as("h"))
+        .select(col("shard"), cmsCells.as("rc"))
+        .groupBy(col("shard"), col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+        .agg(count(lit(1)).as("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -2083,7 +2131,70 @@ object TextOps {
            |SELECT ex.source, n_exact, n_hll,
            |       round((n_hll - n_exact) / n_exact * 100, 2) AS err_pct
            |FROM ex JOIN hll USING (source)
-           |ORDER BY source""".stripMargin))
+           |ORDER BY source""".stripMargin)),
+
+    // Count-min-sketch frequency estimation (x35): the heavy-hitter
+    // query a 100 TB corpus answers from d×w = 4×8192 counters instead
+    // of a vocabulary-sized exact groupBy. Probes the top-10 exact
+    // unigrams (the in-query control, ranked (count DESC, gram) so the
+    // set is deterministic) against the sketch: estimate = min over
+    // the 4 row cells, overestimate-only by construction. FULLY
+    // oracled like x34: every operation is integer arithmetic over the
+    // portable polyhash, so DuckDB reproduces the sketch bit-for-bit
+    // — no tolerance anywhere. The sketch arm reads the pay-once
+    // per-shard fixture (cachedCmsSketch) merged by sum(cnt); the
+    // exact ranks come from the shared gram-count fixture.
+    QueryDef(
+      "x35_cms_freq",
+      (s, d) => {
+        val sketch = cachedCmsSketch(s, d)
+          .groupBy("rw", "cl").agg(sum("cnt").as("cnt"))
+        val top = cachedGramCounts(s, d).filter(col("gn") === 1)
+          .groupBy("gram").agg(sum("cnt").as("n_exact"))
+          .orderBy(col("n_exact").desc, col("gram")).limit(10)
+        val probes = top
+          .withColumn("h",
+            graft.functions.PolyHash64.polyhash64(col("gram")))
+          .select(col("gram"), col("n_exact"), cmsCells.as("rc"))
+          .select(col("gram"), col("n_exact"),
+            col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+        probes.join(sketch, Seq("rw", "cl"))
+          .groupBy("gram", "n_exact").agg(min("cnt").as("n_cms"))
+          .select(col("gram"), col("n_exact"), col("n_cms"),
+            (col("n_cms") - col("n_exact")).as("overest"))
+          .orderBy(col("n_exact").desc, col("gram"))
+      },
+      Some(
+        s"""WITH tok AS (SELECT x AS gram,
+           |         ${sqlToSigned(polySqlUnsigned("x"))} AS h
+           |       FROM (SELECT unnest(string_split_regex(trim(text),
+           |                    '\\s+')) AS x
+           |             FROM documents)),
+           |hh AS (SELECT gram,
+           |         CAST(uh % 4294967296 AS BIGINT) AS h1,
+           |         CAST(uh // 4294967296 AS BIGINT) AS h2
+           |       FROM (SELECT gram,
+           |               CASE WHEN h < 0
+           |                 THEN CAST(h AS HUGEINT) + 18446744073709551616
+           |                 ELSE CAST(h AS HUGEINT) END AS uh
+           |             FROM tok)),
+           |cells AS (SELECT j AS rw, (h1 + j * h2) % $CmsW AS cl
+           |          FROM hh, (SELECT unnest([0, 1, 2, 3]) AS j)),
+           |sketch AS (SELECT rw, cl, count(*) AS cnt
+           |           FROM cells GROUP BY 1, 2),
+           |ex AS (SELECT gram, count(*) AS n_exact FROM tok
+           |       GROUP BY 1 ORDER BY n_exact DESC, gram LIMIT 10),
+           |probes AS (SELECT gram, n_exact, j AS rw,
+           |             (h1 + j * h2) % $CmsW AS cl
+           |           FROM ex
+           |           JOIN (SELECT DISTINCT gram, h1, h2 FROM hh)
+           |             USING (gram),
+           |             (SELECT unnest([0, 1, 2, 3]) AS j)),
+           |cms AS (SELECT gram, n_exact, min(cnt) AS n_cms
+           |        FROM probes JOIN sketch USING (rw, cl)
+           |        GROUP BY 1, 2)
+           |SELECT gram, n_exact, n_cms, n_cms - n_exact AS overest
+           |FROM cms ORDER BY n_exact DESC, gram""".stripMargin))
   )
 
   /** Distributed PageRank over an undirected edge list: per iteration,
