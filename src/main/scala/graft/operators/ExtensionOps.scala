@@ -768,6 +768,80 @@ object ExtensionOps {
            |SELECT ex.event_type, n_exact, n_hll,
            |       round((n_hll - n_exact) / n_exact * 100, 2) AS err_pct
            |FROM ex JOIN hll USING (event_type)
-           |ORDER BY event_type""".stripMargin))
+           |ORDER BY event_type""".stripMargin)),
+
+    // Streaming count-min heavy hitters (z24): per-user event counts
+    // estimated from the d×w CMS, probed for the top-10 most active
+    // users — the classic "heavy hitters on a live stream" query, and
+    // the FREQUENCY member of the streaming sketch pair (z23 counts
+    // distinct; z24 counts occurrences). Same shape as z23: the whole
+    // stateful computation is one declarative streaming aggregation —
+    // groupBy(rw, cl).count() — map-side partial counts, state bounded
+    // by design at d×w = 32 768 longs total, no watermark/eviction.
+    // Per-cell counts are MONOTONE nondecreasing, so update-mode
+    // re-emissions fold with max() (the latest emission per cell wins)
+    // — and counting is order-free, so like z23 the result is exact
+    // under any delivery order or batch split; replays are the one
+    // hazard (sum-family algebra, CmsSpec) and the AvailableNow commit
+    // log rules them out. Hash family + probe arithmetic shared with
+    // x35 (TextOps.cmsCells), oracle replays it bit-for-bit.
+    QueryDef(
+      "z24_stream_cms",
+      (s, d) => {
+        val cells = TextOps.cmsCells
+        val regs = EventStream.eventsStream(s, d)
+          .select(graft.functions.PolyHash64
+            .polyhash64(col("user_id").cast("string")).as("h"))
+          .select(cells.as("rc"))
+          .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+          .agg(count(lit(1)).as("cnt"))
+        val emitted = EventStream.runUpdateAggOnce(s, regs,
+          queryName = s"graft_cms_${graft.etl.ScaleUtils.pathTag(d)}")
+        val sketch = emitted.groupBy("rw", "cl").agg(max("cnt").as("cnt"))
+        val top = EventStream.readEvents(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+        val probes = top
+          .withColumn("h", graft.functions.PolyHash64
+            .polyhash64(col("user_id").cast("string")))
+          .select(col("user_id"), col("n_exact"), TextOps.cmsCells.as("rc"))
+          .select(col("user_id"), col("n_exact"),
+            col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+        probes.join(sketch, Seq("rw", "cl"))
+          .groupBy("user_id", "n_exact").agg(min("cnt").as("n_cms"))
+          .select(col("user_id"), col("n_exact"), col("n_cms"),
+            (col("n_cms") - col("n_exact")).as("overest"))
+          .orderBy(col("n_exact").desc, col("user_id"))
+      },
+      Some(
+        s"""WITH tok AS (SELECT user_id,
+           |         ${TextOps.sqlToSigned(TextOps.polySqlUnsigned(
+                "CAST(user_id AS VARCHAR)"))} AS h
+           |       FROM events),
+           |hh AS (SELECT user_id,
+           |         CAST(uh % 4294967296 AS BIGINT) AS h1,
+           |         CAST(uh // 4294967296 AS BIGINT) AS h2
+           |       FROM (SELECT user_id,
+           |               CASE WHEN h < 0
+           |                 THEN CAST(h AS HUGEINT) + 18446744073709551616
+           |                 ELSE CAST(h AS HUGEINT) END AS uh
+           |             FROM tok)),
+           |cells AS (SELECT j AS rw, (h1 + j * h2) % 8192 AS cl
+           |          FROM hh, (SELECT unnest([0, 1, 2, 3]) AS j)),
+           |sketch AS (SELECT rw, cl, count(*) AS cnt
+           |           FROM cells GROUP BY 1, 2),
+           |ex AS (SELECT user_id, count(*) AS n_exact FROM events
+           |       GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10),
+           |probes AS (SELECT user_id, n_exact, j AS rw,
+           |             (h1 + j * h2) % 8192 AS cl
+           |           FROM ex
+           |           JOIN (SELECT DISTINCT user_id, h1, h2 FROM hh)
+           |             USING (user_id),
+           |             (SELECT unnest([0, 1, 2, 3]) AS j)),
+           |cms AS (SELECT user_id, n_exact, min(cnt) AS n_cms
+           |        FROM probes JOIN sketch USING (rw, cl)
+           |        GROUP BY 1, 2)
+           |SELECT user_id, n_exact, n_cms, n_cms - n_exact AS overest
+           |FROM cms ORDER BY n_exact DESC, user_id""".stripMargin))
   )
 }

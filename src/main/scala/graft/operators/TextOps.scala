@@ -526,7 +526,7 @@ object TextOps {
   /** The d cells `(rw, cl)` a hash column `h` touches, as an exploded
     * struct column (shared by the sketch build and the probe side so
     * the two can never disagree on the hash family). */
-  private def cmsCells: Column = explode(array((0 until CmsD).map { j =>
+  private[operators] def cmsCells: Column = explode(array((0 until CmsD).map { j =>
     struct(lit(j).as("rw"),
       pmod(col("h").bitwiseAND(lit(4294967295L)) +
         lit(j.toLong) * expr("shiftrightunsigned(h, 32)"),

@@ -29,6 +29,20 @@ class CmsSpec extends SparkSpec {
       s"implausible collision mass: ${rows.map(_._4).sum} over $total")
   }
 
+  it("z24's streamed CMS obeys the same overestimate-only guarantee " +
+      "and its heavy-hitter ranks are exact at this sparsity") {
+    val rows = graft.SparkEntry.queries("z24_stream_cms")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (u, ex, est, over) =>
+      assert(est >= ex, s"user $u: CMS must never undercount ($est < $ex)")
+      assert(over == est - ex && over >= 0)
+    }
+    // exact ranks are strictly positive and sorted the deterministic way
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+  }
+
   it("shard-merged sketch equals the global single-pass sketch (sum is " +
       "associative + commutative), but a replayed shard double-counts " +
       "(NOT idempotent - the contrast with the HLL registers)") {
