@@ -238,10 +238,14 @@ object EventStream {
               val t = e.ts.getTime
               // cross-batch out-of-order arrival: time went backwards
               // relative to restored state (within-batch order is sorted
-              // above, so only a late delivery can trip this)
+              // above, so only a late delivery can trip this). `last`
+              // must not REGRESS on it (r14): a regressed last shrinks
+              // the duration and re-arms the eviction timeout EARLIER
+              // than the session's true tail — max() keeps the in-order
+              // result identical and the disordered result sane.
               if (t < st.last) guards.outOfOrder.add(1)
               if (t - st.last > gapMs) { closed = true; st = SessionState(0, t, t) }
-              st = st.copy(count = st.count + 1, last = t)
+              st = st.copy(count = st.count + 1, last = math.max(st.last, t))
             }
             state.update(st)
             // arm eviction at session-gap expiry; Spark requires the
@@ -618,7 +622,8 @@ object EventStream {
                 out += SessionRow(uid, st.start, st.count, st.last - st.start)
                 st = SessionState(0, t, t)
               }
-              st = st.copy(count = st.count + 1, last = t)
+              // same no-regress rule as sessionize (r14)
+              st = st.copy(count = st.count + 1, last = math.max(st.last, t))
             }
             state.update(st)
             val wm = try state.getCurrentWatermarkMs()

@@ -108,6 +108,39 @@ class StreamGuardsSpec extends SparkSpec {
     }
   }
 
+  describe("sessionizer no-regress rule (z9/z15 family)") {
+
+    it("a late in-session event cannot shrink the session tail: last " +
+        "is max()-folded, duration holds, and the arrival is counted") {
+      // pre-r14, an admitted out-of-order event REGRESSED state.last —
+      // shrinking the reported duration and re-arming the eviction
+      // timeout earlier than the session's true tail
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def se(u: Long, ms: Long) = EventStream.SessionEvent(
+        u, ts(ms), "view")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStream.SessionEvent]
+      val guards = EventStream.StreamGuards(spark, "t_guard_sess")
+      val q = EventStream.sessionize(
+          mem.toDS().withWatermark("ts", "1 hour"), gapMs = 10000, guards)
+        .writeStream.format("memory").queryName("t_guard_sess")
+        .outputMode("update").start()
+      try {
+        mem.addData(se(1, 50000), se(1, 60000)) // session tail at 60 s
+        q.processAllAvailable()
+        mem.addData(se(1, 55000)) // late, inside the session
+        q.processAllAvailable()
+        assert(guards.outOfOrder.value == 1)
+        val last = spark.table("t_guard_sess")
+          .orderBy(col("n_events").desc).head
+        // 3 events, duration still 10 s (55 s did not regress the tail)
+        assert(last.getLong(1) == 3, s"events: $last")
+        assert(last.getLong(2) == 10000, s"duration must hold: $last")
+      } finally q.stop()
+    }
+  }
+
   describe("the two late-data layers: Spark's watermark filter vs the guards") {
 
     it("a SUB-watermark late event is dropped by Spark before the state " +
