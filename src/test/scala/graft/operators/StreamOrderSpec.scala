@@ -93,6 +93,64 @@ class StreamOrderSpec extends SparkSpec {
       "shuffled-delivery registers must equal the in-order registers")
   }
 
+  it("z23's register stream recovers across a checkpoint restart " +
+      "(streaming-AGGREGATION state, completing the per-state-class " +
+      "restart proofs)") {
+    // z15 proves flatMapGroupsWithState restart, the funnel-JDBC spec
+    // proves mapGroupsWithState restart; this pins the third state
+    // class — the declarative streaming aggregation's HDFS-backed agg
+    // state — across a stop, a late file landing, and a fresh query
+    // over the SAME checkpoint.
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-rst")
+    val srcDir = tmp.resolve("src").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val events = EventStream.readEvents(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cut = events.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0)(0)
+    events.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = events.schema
+    def runToCompletion(): Unit = {
+      val regs = TextOps.hllBktRho(
+        spark.readStream.schema(schema).parquet(srcDir)
+          .select(col("event_type"),
+            graft.functions.PolyHash64
+              .polyhash64(col("user_id").cast("string")).as("h")),
+        "event_type")
+        .groupBy("event_type", "bkt").agg(max("rho").as("rmax"))
+      // COMPLETE mode: every batch re-emits ALL groups, so run 2's
+      // final table contains cells whose rmax was set only by run 1 —
+      // visible restored state (update mode would leave half-1-only
+      // cells silent after the memory sink's restart truncation)
+      val q = regs.writeStream.format("memory")
+        .queryName("t_hll_rst").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runToCompletion() // run 1: half the corpus; agg state checkpoints
+    events.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    runToCompletion() // run 2: fresh query, same checkpoint = restart
+    // run 2's complete-mode table = the restored-and-advanced agg
+    // state in full; it must equal the full-corpus batch registers
+    val streamed = spark.table("t_hll_rst")
+      .select(col("event_type"), col("bkt"), col("rmax"))
+    val batch = TextOps.hllBktRho(
+      EventStream.readEvents(spark, sf)
+        .select(col("event_type"),
+          graft.functions.PolyHash64
+            .polyhash64(col("user_id").cast("string")).as("h")),
+      "event_type")
+      .groupBy("event_type", "bkt").agg(max("rho").as("rmax"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "restored agg state + late half must equal full-corpus registers")
+  }
+
   it("the funnel detects the same layout as a contract breach instead " +
       "of silently diverging") {
     import spark.implicits._
