@@ -249,15 +249,29 @@ object Bench {
     // hypervisor neighbor, nonzero iowait is disk contention; both
     // adjudicate a slow leg without guessing. Linux-only by contract
     // (the bench host); absent /proc reads as zeros.
-    def cpuStat(): (Long, Long, Long) = try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).getOrElse("")
-      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      // user nice system idle iowait irq softirq steal ...
-      val total = f.sum
-      (total, if (f.length > 4) f(4) else 0L, if (f.length > 7) f(7) else 0L)
-    } catch { case _: Throwable => (0L, 0L, 0L) }
-    def pct(d: Long, t: Long): Double = if (t <= 0) 0.0 else d * 100.0 / t
+    // Option, not a zero sentinel: a pass where only ONE of the two
+    // samples failed must read as UNKNOWN (-1 in the JSON), never as a
+    // since-boot cumulative share masquerading as that pass's
+    // contention (review r14). Source is closed — two reads per rep
+    // across 5 reps would otherwise leak 10 fds into the Spark run.
+    def cpuStat(): Option[(Long, Long, Long)] = {
+      var src: scala.io.Source = null
+      try {
+        src = scala.io.Source.fromFile("/proc/stat")
+        val l = src.getLines().find(_.startsWith("cpu ")).getOrElse("")
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal ...
+        Some((f.sum, if (f.length > 4) f(4) else 0L,
+          if (f.length > 7) f(7) else 0L))
+      } catch { case _: Throwable => None }
+      finally if (src != null) src.close()
+    }
+    def pct(a: Option[(Long, Long, Long)], b: Option[(Long, Long, Long)],
+        field: ((Long, Long, Long)) => Long): Double = (a, b) match {
+      case (Some(s0), Some(s1)) if s1._1 > s0._1 =>
+        (field(s1) - field(s0)) * 100.0 / (s1._1 - s0._1)
+      case _ => -1.0 // unknown, flagged as such
+    }
     val mtThreads = cpus.toInt
     calibrate() // untimed JIT warm-up of the loop itself
     calibrateMt(mtThreads) // and of the threaded variant
@@ -266,22 +280,27 @@ object Bench {
     val steals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val iowaits = scala.collection.mutable.ArrayBuffer.empty[Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val perRep: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
+    // each leg carries an ok flag: a leg that THREW records its
+    // time-to-failure, which must never enter the median/min statistics
+    // (a 0.2 s crash would win the min and value_min would underreport
+    // exactly when the suite is broken — review r14)
+    val perRep: Seq[Seq[(String, Double, Boolean)]] = (1 to reps).map { _ =>
       calibs += calibrate()
       calibsMt += calibrateMt(mtThreads)
-      val (t0s, io0, st0) = cpuStat()
+      val s0 = cpuStat()
       val rep = SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { Force(fn(spark, sfDir)) } catch {
+        val ok = try { Force(fn(spark, sfDir)); true } catch {
           case t: Throwable =>
             failed += name
             System.err.println(s"bench $name FAILED: $t")
+            false
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      val (t1s, io1, st1) = cpuStat()
-      steals += pct(st1 - st0, t1s - t0s)
-      iowaits += pct(io1 - io0, t1s - t0s)
+      val s1 = cpuStat()
+      steals += pct(s0, s1, _._3)
+      iowaits += pct(s0, s1, _._2)
       rep
     }
     def median(xs: Seq[Double]): Double = {
@@ -289,13 +308,19 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
+    // per-query legs, FAILED legs excluded (all-failed queries keep
+    // their raw legs so the medians still render; they are named in
+    // failed_queries either way)
     val byQuery: Seq[(String, Seq[Double])] = perRep.head.map(_._1).map {
-      name => name -> perRep.map(_.find(_._1 == name).get._2)
+      name =>
+        val legs = perRep.map(_.find(_._1 == name).get)
+        val ok = legs.filter(_._3).map(_._2)
+        name -> (if (ok.nonEmpty) ok else legs.map(_._2))
     }
     val results: Seq[(String, Double)] = byQuery.map { case (n, ts) =>
       n -> median(ts)
     }
-    val totals = perRep.map(_.map(_._2).sum)
+    val totals = perRep.map(_.map(_._2).sum) // pass wall incl. failures
     val totalMed = median(totals)
     def f3(v: Double) = f(v, 3)
     // Contention-robust headline (VERDICT r13 ask #1): for a

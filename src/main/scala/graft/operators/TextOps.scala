@@ -39,7 +39,26 @@ object TextOps {
     * `localCheckpoint` otherwise. Both are EAGER — the loops depend on
     * the round's frame being materialized exactly once. Result rows are
     * identical either way (CheckpointModeSpec pins it); only the storage
-    * of the truncation point moves. */
+    * of the truncation point moves.
+    *
+    * The reliable branch persists the frame around the checkpoint:
+    * `Dataset.checkpoint(eager)` runs TWO jobs over the source RDD (a
+    * count, then the checkpoint write — verified in the shipped Spark
+    * 4.1.2 core), so an un-cached frame would compute every round
+    * twice; the cache makes the second job a cache read, and the
+    * unpersist after the write frees the blocks (the returned frame
+    * reads the checkpoint FILES, not the cache).
+    *
+    * Ops note: reliable checkpoints outlive the JVM by design and this
+    * engine does not delete them mid-loop (early rounds' frames are
+    * superseded, but e0/bi/deg-class frames are read by EVERY round and
+    * the final round's files back the returned lazy frame). Treat the
+    * configured directory as per-run scratch the way Spark deployments
+    * treat any checkpoint dir: point it at a per-application path and
+    * reap it after the job (or set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let the
+    * ContextCleaner delete files as RDDs are GC'd). Measured volume:
+    * ~1.5 MB per x33 run at sf0.1 — BENCH_SCALES §r14. */
   private[graft] def truncate(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ReliableCheckpointKey)
       .orElse(df.sparkSession.sparkContext.getConf
@@ -48,14 +67,18 @@ object TextOps {
         val sc = df.sparkSession.sparkContext
         // setCheckpointDir creates a fresh UUID subdir per call — only
         // (re)set when the configured root actually changed, so every
-        // round of a loop shares one directory tree
+        // round of a loop shares one directory tree. The trailing
+        // separator keeps a root that is a string PREFIX of the current
+        // one (/data/ckpt vs /data/ckpt2) from being silently ignored.
         val current = sc.getCheckpointDir
         val p = new org.apache.hadoop.fs.Path(dir)
         val qualified = p.getFileSystem(sc.hadoopConfiguration)
           .makeQualified(p).toString
-        if (!current.exists(_.startsWith(qualified)))
+        if (!current.exists(_.startsWith(qualified + "/")))
           sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist(blocking = false)
       case _ => df.localCheckpoint(true)
     }
 
@@ -399,11 +422,24 @@ object TextOps {
 
   private val hllRegisterCache = new graft.etl.DfCache
 
-  /** HLL geometry shared by the register fixture, the x34 estimate, and
-    * the DuckDB oracle: m = 256 registers addressed by the top 8 bits
-    * of the portable PolyHash64, rho = leftmost-1 position of the
-    * remaining 56 bits. */
-  private[operators] val HllM = 256
+  /** HLL geometry shared by the register fixture, the x34/z23
+    * estimates, and the DuckDB oracle: m = 2^p registers addressed by
+    * the hash's top p bits, rho = leftmost-1 position of the remaining
+    * 64−p. EVERY derived constant below (alpha·m², the bit split, the
+    * linear-counting threshold 2.5·m, the oracle's literals) is
+    * computed from these two so the geometry can never half-change
+    * (review r14: 256 was baked into five places). */
+  private[operators] val HllP = 8
+  private[operators] val HllM = 1 << HllP // 256
+  /** Standard bias correction α·m² (α = 0.7213/(1 + 1.079/m), valid
+    * for m ≥ 128). */
+  private[operators] val HllAlphaMM: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM
+  /** rho of an all-zero remainder = (64 − p) + 1. */
+  private val HllZeroRho = 64 - HllP + 1
+  /** 2^(64−p), the remainder-space size, as the exact BigInt both the
+    * Column mask (− 1) and the oracle literals derive from. */
+  private val HllRemSpace: BigInt = BigInt(1) << (64 - HllP)
   /** Shard count for the per-shard register fixture — stands in for
     * the per-ingest-shard register frames a 100 TB deployment persists
     * (one tiny frame per arriving data shard). Content-addressed
@@ -419,11 +455,12 @@ object TextOps {
   private[operators] def hllBktRho(df: DataFrame,
       carry: String*): DataFrame = {
     val c = carry.map(col)
-    df.select(c :+ expr("shiftrightunsigned(h, 56)").as("bkt") :+
-        (col("h").bitwiseAND(lit((1L << 56) - 1))).as("x"): _*)
+    df.select(c :+ expr(s"shiftrightunsigned(h, ${64 - HllP})").as("bkt") :+
+        (col("h").bitwiseAND(lit((HllRemSpace - 1).toLong))).as("x"): _*)
       .select(c :+ col("bkt") :+
-        when(col("x") === 0, lit(57L))
-          .otherwise(lit(56L) - floor(log2(col("x")))).as("rho"): _*)
+        when(col("x") === 0, lit(HllZeroRho.toLong))
+          .otherwise(lit((64 - HllP).toLong) - floor(log2(col("x"))))
+          .as("rho"): _*)
   }
 
   /** Bias-corrected HLL estimate per `key` from a register frame
@@ -437,7 +474,7 @@ object TextOps {
   private[operators] def hllEstimate(regs: DataFrame,
       key: String): DataFrame = {
     val m = HllM
-    val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+    val alphaMM = HllAlphaMM
     regs.groupBy(key)
       .agg(sum(pow(lit(2.0), -col("rmax"))).as("sp"),
         count(lit(1)).as("nb"))
@@ -456,30 +493,32 @@ object TextOps {
     * oracle skeleton of x34 and z23. Emits CTEs `regs(key, bkt, rmax)`
     * and `hll(key, n_hll)`. */
   private[operators] def hllOracleCtes(key: String): String = {
-    val alphaMM = 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+    val m = HllM
+    val rem = HllRemSpace // 2^(64-p)
     s"""u AS (SELECT $key,
        |        CASE WHEN h < 0
        |          THEN CAST(h AS HUGEINT) + 18446744073709551616
        |          ELSE CAST(h AS HUGEINT) END AS uh
        |      FROM tok),
        |r AS (SELECT $key,
-       |        CAST(uh // 72057594037927936 AS BIGINT) AS bkt,
-       |        CAST(uh % 72057594037927936 AS BIGINT) AS x
+       |        CAST(uh // $rem AS BIGINT) AS bkt,
+       |        CAST(uh % $rem AS BIGINT) AS x
        |      FROM u),
        |rho AS (SELECT $key, bkt,
-       |          CASE WHEN x = 0 THEN CAST(57 AS BIGINT)
-       |            ELSE 56 - CAST(floor(log2(x)) AS BIGINT) END AS rho
+       |          CASE WHEN x = 0 THEN CAST($HllZeroRho AS BIGINT)
+       |            ELSE ${64 - HllP} - CAST(floor(log2(x)) AS BIGINT)
+       |          END AS rho
        |        FROM r),
        |regs AS (SELECT $key, bkt, max(rho) AS rmax
        |         FROM rho GROUP BY 1, 2),
        |est AS (SELECT $key,
-       |          sum(pow(2.0, -rmax)) + (256.0 - count(*)) AS sumpow,
-       |          256 - count(*) AS v
+       |          sum(pow(2.0, -rmax)) + ($m.0 - count(*)) AS sumpow,
+       |          $m - count(*) AS v
        |        FROM regs GROUP BY 1),
        |hll AS (SELECT $key,
-       |          round(CASE WHEN v > 0 AND $alphaMM / sumpow <= 640.0
-       |            THEN 256.0 * ln(256.0 / v)
-       |            ELSE $alphaMM / sumpow END, 4) AS n_hll
+       |          round(CASE WHEN v > 0 AND $HllAlphaMM / sumpow <= ${2.5 * m}
+       |            THEN $m.0 * ln($m.0 / v)
+       |            ELSE $HllAlphaMM / sumpow END, 4) AS n_hll
        |        FROM est)""".stripMargin
   }
 

@@ -93,6 +93,36 @@ class StreamOrderSpec extends SparkSpec {
       "shuffled-delivery registers must equal the in-order registers")
   }
 
+  it("z24's count sketch is bit-identical under out-of-order " +
+      "multi-batch delivery (counting is order-free)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cellsStream = shuffledStream
+      .select(graft.functions.PolyHash64
+        .polyhash64(col("user_id").cast("string")).as("h"))
+      .select(TextOps.cmsCells.as("rc"))
+      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = cellsStream.writeStream.format("memory")
+      .queryName("t_order_cms").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    // per-cell counts are monotone: the latest (max) emission per cell
+    // is the final count — the same fold z24 itself uses
+    val streamed = spark.table("t_order_cms")
+      .groupBy("rw", "cl").agg(max("cnt").as("cnt"))
+    val batch = EventStream.readEvents(spark, sf)
+      .select(graft.functions.PolyHash64
+        .polyhash64(col("user_id").cast("string")).as("h"))
+      .select(TextOps.cmsCells.as("rc"))
+      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "shuffled-delivery counts must equal the in-order counts")
+  }
+
   it("z23's register stream recovers across a checkpoint restart " +
       "(streaming-AGGREGATION state, completing the per-state-class " +
       "restart proofs)") {
