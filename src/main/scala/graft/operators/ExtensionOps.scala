@@ -818,26 +818,10 @@ object ExtensionOps {
            |         ${TextOps.sqlToSigned(TextOps.polySqlUnsigned(
                 "CAST(user_id AS VARCHAR)"))} AS h
            |       FROM events),
-           |hh AS (SELECT user_id,
-           |         CAST(uh % 4294967296 AS BIGINT) AS h1,
-           |         CAST(uh // 4294967296 AS BIGINT) AS h2
-           |       FROM (SELECT user_id,
-           |               CASE WHEN h < 0
-           |                 THEN CAST(h AS HUGEINT) + 18446744073709551616
-           |                 ELSE CAST(h AS HUGEINT) END AS uh
-           |             FROM tok)),
-           |cells AS (SELECT j AS rw, (h1 + j * h2) % 8192 AS cl
-           |          FROM hh, (SELECT unnest([0, 1, 2, 3]) AS j)),
-           |sketch AS (SELECT rw, cl, count(*) AS cnt
-           |           FROM cells GROUP BY 1, 2),
+           |${TextOps.cmsOracleCtes("user_id")},
            |ex AS (SELECT user_id, count(*) AS n_exact FROM events
            |       GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10),
-           |probes AS (SELECT user_id, n_exact, j AS rw,
-           |             (h1 + j * h2) % 8192 AS cl
-           |           FROM ex
-           |           JOIN (SELECT DISTINCT user_id, h1, h2 FROM hh)
-           |             USING (user_id),
-           |             (SELECT unnest([0, 1, 2, 3]) AS j)),
+           |${TextOps.cmsProbeCte("user_id")},
            |cms AS (SELECT user_id, n_exact, min(cnt) AS n_cms
            |        FROM probes JOIN sketch USING (rw, cl)
            |        GROUP BY 1, 2)

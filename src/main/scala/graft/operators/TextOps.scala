@@ -572,6 +572,43 @@ object TextOps {
         lit(CmsW.toLong)).as("cl"))
   }: _*))
 
+  /** SQL list of the sketch's row indices `0, 1, …, d-1`, derived from
+    * [[CmsD]] so no oracle bakes the depth. */
+  private[operators] def cmsRowList: String = (0 until CmsD).mkString(", ")
+
+  /** DuckDB mirror of the [[cmsCells]] hash family over a CTE
+    * `tok(key, h)` of signed polyhashes — the shared oracle skeleton
+    * of x35 and z24, the CMS twin of [[hllOracleCtes]]. All geometry
+    * interpolates from [[CmsW]]/[[CmsD]] (never baked, so the engine
+    * and every oracle move together when the geometry changes). Emits
+    * CTEs `hh(key, h1, h2)`, `cells(rw, cl)`, `sketch(rw, cl, cnt)`,
+    * and the probe-side template lives in [[cmsProbeCells]]. */
+  private[operators] def cmsOracleCtes(key: String): String =
+    s"""hh AS (SELECT $key,
+       |         CAST(uh % 4294967296 AS BIGINT) AS h1,
+       |         CAST(uh // 4294967296 AS BIGINT) AS h2
+       |       FROM (SELECT $key,
+       |               CASE WHEN h < 0
+       |                 THEN CAST(h AS HUGEINT) + 18446744073709551616
+       |                 ELSE CAST(h AS HUGEINT) END AS uh
+       |             FROM tok)),
+       |cells AS (SELECT j AS rw, (h1 + j * h2) % $CmsW AS cl
+       |          FROM hh, (SELECT unnest([$cmsRowList]) AS j)),
+       |sketch AS (SELECT rw, cl, count(*) AS cnt
+       |           FROM cells GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB `probes` CTE: the d cells each top-ranked `key` probes,
+    * joining the exact-rank CTE `ex(key, n_exact)` back to the hash
+    * CTE `hh`. Shared by x35 and z24 so the probe-side hash family can
+    * never drift from the sketch side. */
+  private[operators] def cmsProbeCte(key: String): String =
+    s"""probes AS (SELECT $key, n_exact, j AS rw,
+       |             (h1 + j * h2) % $CmsW AS cl
+       |           FROM ex
+       |           JOIN (SELECT DISTINCT $key, h1, h2 FROM hh)
+       |             USING ($key),
+       |             (SELECT unnest([$cmsRowList]) AS j))""".stripMargin
+
   /** Per-dataset persisted PER-SHARD count-min sketch
     * `(shard, rw, cl, cnt)` — ≤ [[HllShards]] × d × w rows, the
     * pay-once mergeable FREQUENCY twin of [[cachedHllRegisters]]: each
@@ -2209,26 +2246,10 @@ object TextOps {
            |       FROM (SELECT unnest(string_split_regex(trim(text),
            |                    '\\s+')) AS x
            |             FROM documents)),
-           |hh AS (SELECT gram,
-           |         CAST(uh % 4294967296 AS BIGINT) AS h1,
-           |         CAST(uh // 4294967296 AS BIGINT) AS h2
-           |       FROM (SELECT gram,
-           |               CASE WHEN h < 0
-           |                 THEN CAST(h AS HUGEINT) + 18446744073709551616
-           |                 ELSE CAST(h AS HUGEINT) END AS uh
-           |             FROM tok)),
-           |cells AS (SELECT j AS rw, (h1 + j * h2) % $CmsW AS cl
-           |          FROM hh, (SELECT unnest([0, 1, 2, 3]) AS j)),
-           |sketch AS (SELECT rw, cl, count(*) AS cnt
-           |           FROM cells GROUP BY 1, 2),
+           |${cmsOracleCtes("gram")},
            |ex AS (SELECT gram, count(*) AS n_exact FROM tok
            |       GROUP BY 1 ORDER BY n_exact DESC, gram LIMIT 10),
-           |probes AS (SELECT gram, n_exact, j AS rw,
-           |             (h1 + j * h2) % $CmsW AS cl
-           |           FROM ex
-           |           JOIN (SELECT DISTINCT gram, h1, h2 FROM hh)
-           |             USING (gram),
-           |             (SELECT unnest([0, 1, 2, 3]) AS j)),
+           |${cmsProbeCte("gram")},
            |cms AS (SELECT gram, n_exact, min(cnt) AS n_cms
            |        FROM probes JOIN sketch USING (rw, cl)
            |        GROUP BY 1, 2)

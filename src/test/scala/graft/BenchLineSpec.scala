@@ -154,6 +154,51 @@ class BenchLineSpec extends AnyFunSuite {
     assert(n.get("fixture_backed").size == Bench.FixtureBacked.size)
   }
 
+  test("contended-leg rule: r14 driver's measured pass 5 is excluded by rule") {
+    // the EXACT instrument readings of the r14 driver run: four quiet
+    // passes and one with 1.95% hypervisor steal carrying the 148.8 s
+    // leg — the rule must exclude precisely that pass
+    val steals = Seq(0.03, 0.02, 0.03, 0.16, 1.95)
+    val calibsMt = Seq(0.195, 0.192, 0.209, 0.187, 0.206)
+    assert(Bench.contendedLegs(steals, calibsMt) == Set(4))
+  }
+
+  test("contended-leg rule: calib_mt inflation trips where steal cannot see") {
+    // same-VM CPU competition: steal flat, the 32-thread calibration
+    // loop queueing behind foreign load on passes 1 and 3
+    val steals = Seq(0.05, 0.04, 0.03, 0.05, 0.04)
+    val calibsMt = Seq(0.19, 0.41, 0.20, 0.35, 0.19)
+    assert(Bench.contendedLegs(steals, calibsMt) == Set(1, 3))
+  }
+
+  test("contended-leg rule: never excludes every pass, ignores unknown steal") {
+    // every pass contended -> no quiet baseline to prefer -> keep all
+    assert(Bench.contendedLegs(Seq(2.0, 3.0, 2.5), Seq(0.2, 0.2, 0.2)).isEmpty)
+    // steal -1.0 is UNKNOWN (one /proc sample failed) and must not trip
+    assert(Bench.contendedLegs(Seq(-1.0, -1.0, 0.05), Seq(0.2, 0.2, 0.2)).isEmpty)
+    // a quiet run excludes nothing
+    assert(Bench.contendedLegs(Seq(0.03, 0.02, 0.05), Seq(0.19, 0.20, 0.19)).isEmpty)
+    assert(Bench.contendedLegs(Nil, Nil).isEmpty)
+  }
+
+  test("all-failed queries render null, not time-to-failure") {
+    // review r14: a query whose every leg failed carries NaN; it must
+    // render as JSON null, add nothing to the default total, and drop
+    // FIRST on the degrade path
+    val withNull = results.take(5) :+ ("q_dead" -> Double.NaN)
+    val n = mapper.readTree(Bench.renderLine(withNull, "sf0.1", 3))
+    assert(n.get("queries").get("q_dead").isNull)
+    assert(math.abs(n.get("value").asDouble -
+      results.take(5).map(_._2).sum) < 1e-3)
+    // degrade path: the null entry is the first dropped
+    val compact = Bench.compactLine(withNull, "sf0.1", budget = 160)
+    val c = mapper.readTree(compact)
+    assert(c.get("dropped").asInt > 0)
+    assert(!c.get("queries").has("q_dead"))
+    assert(math.abs(c.get("value").asDouble -
+      results.take(5).map(_._2).sum) < 5e-3)
+  }
+
   test("hostile query names cannot corrupt the JSON line") {
     val evil = "q\"ev\\il\nq"
     val n = mapper.readTree(
