@@ -63,6 +63,9 @@ object StreamAudit {
     graft.streaming.EventStream.readEvents(spark, sfDir).count()
 
     if (args.headOption.contains("--z4")) { z4Legacy(spark, sfDir); return }
+    if (args.headOption.contains("--horizon")) {
+      horizonAudit(spark, sfDir); spark.stop(); return
+    }
 
     val names =
       if (args.nonEmpty) args.toSeq
@@ -99,6 +102,82 @@ object StreamAudit {
     }
     spark.streams.removeListener(listener)
     spark.stop()
+  }
+
+  /** State-lifetime audit for the opt-in horizon eviction (VERDICT r14
+    * ask #1): two-stage file-source replay of the funnel and retention
+    * state machines — land the corpus' first half (by event time), run
+    * to completion on a persistent checkpoint, land the second half,
+    * run again. The second run's watermark passes the early users'
+    * horizons, so their tombstones/anchors DROP; the unbounded control
+    * arm keeps one state row per user ever seen. Emits
+    * `state_rows` vs `users_ever` per arm — the BENCH_SCALES row.
+    * Retention runs with 6-hour "weeks" so the 64-week inert point
+    * (16 days) lands inside the 30-day corpus; the funnel keeps its
+    * production 7-day window. Both horizons are 1 day of lateness. */
+  private def horizonAudit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val es = graft.streaming.EventStream
+    val dayUs = 86400L * 1000000
+    val events = es.readEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cut = events.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0)(0)
+    val funnelUsers = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id").distinct().count()
+    val allUsers = events.select("user_id").distinct().count()
+    println(s"[haudit] users_ever_funnel=$funnelUsers users_ever=$allUsers")
+
+    def stage(tmp: java.nio.file.Path, half: Int): Unit =
+      (if (half == 1) events.filter(unix_micros(col("ts")) <= cut)
+       else events.filter(unix_micros(col("ts")) > cut))
+        .coalesce(4).write.mode("append").parquet(tmp.resolve("src").toString)
+
+    def audit(kind: String, horizonUs: Long): Unit = {
+      val tag = if (horizonUs == Long.MaxValue) "control" else "horizon_1d"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_haudit_$tag")
+      stage(tmp, 1)
+      def run(n: Int): Unit = {
+        val guards = es.StreamGuards(spark, s"haudit_${kind}_$tag$n")
+        val src = spark.readStream.schema(events.schema)
+          .parquet(tmp.resolve("src").toString)
+          .withWatermark("ts", "2 hours")
+        val out = kind match {
+          case "funnel" => es.funnelChain(
+            src.filter(col("event_type").isin("view", "click", "purchase"))
+              .as[es.FunnelEvent],
+            graft.operators.ExtensionOps.FunnelWindowUs, guards, horizonUs)
+          case _ => es.retentionHits(
+            src.as[es.FunnelEvent], 6L * 3600 * 1000000, guards, horizonUs)
+        }
+        // foreachBatch terminal (memory sink cannot recover from a
+        // checkpoint): the audit only reads the state-store metrics,
+        // so the batch body just forces the batch
+        val q = out.writeStream
+          .queryName(s"haudit_${kind}_$tag$n")
+          .outputMode(if (kind == "funnel") "update" else "append")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .foreachBatch((b: org.apache.spark.sql.Dataset[_], _: Long) =>
+            { b.count(); () })
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val rows = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+        println(s"[haudit] $kind,$tag,run$n,state_rows=$rows," +
+          s"evictions=${guards.horizonEvictions.value}," +
+          s"mask_overflow=${guards.maskOverflow.value}")
+      }
+      run(1)
+      stage(tmp, 2)
+      run(2)
+    }
+    Seq("funnel", "retention").foreach { kind =>
+      audit(kind, Long.MaxValue)
+      audit(kind, dayUs)
+    }
   }
 
   private def z4Legacy(spark: SparkSession, sfDir: String): Unit = {

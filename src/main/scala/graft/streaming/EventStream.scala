@@ -290,10 +290,18 @@ object EventStream {
         * PRECONDITION for an anchor violation; can be nonzero while
         * violations stay zero if no fixed field was contradicted) */
       outOfOrder: LongAccumulator,
-      /** retention week offsets >= 64 dropped by the bitmask bound —
-        * nonzero means the corpus outgrew the documented ~15-month
-        * mask and z22 under-reports vs z20 */
-      maskOverflow: LongAccumulator)
+      /** retention week offsets >= [[MaskWeeks]] dropped by the bitmask
+        * bound — nonzero means the corpus outgrew the documented
+        * ~15-month mask and z22 under-reports vs z20 */
+      maskOverflow: LongAccumulator,
+      /** state entries dropped at the opt-in lateness horizon (VERDICT
+        * r14 ask #1): each eviction bounds state lifetime at the cost
+        * of breach DETECTION for that key — a post-horizon arrival
+        * re-anchors a fresh chain instead of being counted against the
+        * old one (the accepted, documented trade). The count therefore
+        * upper-bounds how many keys could possibly have re-anchored
+        * silently; zero with a horizon set means the bound never bit. */
+      horizonEvictions: LongAccumulator)
 
   object StreamGuards {
     def apply(spark: SparkSession, tag: String): StreamGuards = {
@@ -301,18 +309,20 @@ object EventStream {
       StreamGuards(
         sc.longAccumulator(s"graft.$tag.anchor_violations"),
         sc.longAccumulator(s"graft.$tag.out_of_order"),
-        sc.longAccumulator(s"graft.$tag.mask_overflow"))
+        sc.longAccumulator(s"graft.$tag.mask_overflow"),
+        sc.longAccumulator(s"graft.$tag.horizon_evictions"))
     }
 
     /** Log nonzero guard counts after a bounded run — the harness-side
       * face of the breach signal. */
     def report(g: StreamGuards, tag: String): Unit = {
       if (g.anchorViolations.value > 0 || g.outOfOrder.value > 0 ||
-          g.maskOverflow.value > 0)
+          g.maskOverflow.value > 0 || g.horizonEvictions.value > 0)
         System.err.println(s"stream guard [$tag]: " +
           s"anchor_violations=${g.anchorViolations.value} " +
           s"out_of_order=${g.outOfOrder.value} " +
-          s"mask_overflow=${g.maskOverflow.value}")
+          s"mask_overflow=${g.maskOverflow.value} " +
+          s"horizon_evictions=${g.horizonEvictions.value}")
     }
   }
 
@@ -326,9 +336,11 @@ object EventStream {
     * chain whose max()-reduced merge with the old one would diverge
     * from the batch twin (ADVICE r13: eviction + re-entry merged fields
     * from two distinct chains). Tombstones are 4 longs + a bool per
-    * user-ever-seen; a deployment that must bound that can re-arm a
-    * second timeout at its lateness horizon and drop the tombstone
-    * there, accepting re-anchor beyond the horizon. */
+    * user-ever-seen BY DEFAULT; the opt-in `horizonUs` on
+    * [[funnelChain]] re-arms a second timeout at the lateness horizon
+    * and drops the tombstone there (counted in
+    * `guards.horizonEvictions`), accepting re-anchor beyond the
+    * horizon — see the funnelChain docstring for the exact trade. */
   final case class FunnelState(t1: Long, t2: Long, t3: Long,
       maxUs: Long = Long.MinValue, closed: Boolean = false)
   final case class FunnelUser(user_id: Long, t1: Option[Long],
@@ -362,22 +374,65 @@ object EventStream {
     * re-opened a finalized chain, and `guards.outOfOrder` for every
     * event below the user's max seen time, so a breach of the contract
     * is observable rather than a silent divergence from the batch twin.
-    * Finalized chains are kept as `closed` tombstones (never removed),
-    * so a returning user cannot re-anchor — the emitted triple stays
-    * monotone and final across the stream's whole lifetime. */
+    * Finalized chains are kept as `closed` tombstones (never removed by
+    * default), so a returning user cannot re-anchor — the emitted
+    * triple stays monotone and final across the stream's whole
+    * lifetime.
+    *
+    * State-lifetime bound (VERDICT r14 ask #1, opt-in): with
+    * `horizonUs` set, a SECOND `EventTimeTimeout` re-arms when the
+    * chain closes, at `t1 + winUs + horizonUs` — once the watermark
+    * passes the lateness horizon, the tombstone is DROPPED (counted in
+    * `guards.horizonEvictions`), so on an unbounded feed state tracks
+    * only users within the horizon of their own funnel window, never
+    * users-ever-seen. The trade, stated exactly: between close and
+    * horizon the tombstone still counts post-close breaches; beyond
+    * the horizon a returning user re-anchors a FRESH chain (Spark's
+    * watermark filter guarantees any event reaching an evicted group
+    * is above the watermark, hence > t1 + winUs + horizonUs — outside
+    * the original window by more than the declared lateness, the same
+    * class of event every lateness-bounded system re-keys). Anchor-less
+    * state (a user with no 'view' yet, carried only for out-of-order
+    * detection) is likewise dropped `horizonUs` past its max seen
+    * event time. Default `Long.MaxValue` keeps the unbounded tombstone
+    * semantics bit-for-bit. */
   def funnelChain(events: Dataset[FunnelEvent], winUs: Long,
-      guards: StreamGuards): Dataset[FunnelUser] = {
+      guards: StreamGuards,
+      horizonUs: Long = Long.MaxValue): Dataset[FunnelUser] = {
     import events.sparkSession.implicits._
+    val bounded = horizonUs != Long.MaxValue
     events.groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelUser](
         GroupStateTimeout.EventTimeTimeout) {
         case (uid, evs, state: GroupState[FunnelState]) =>
+          // timeout timestamps must sit strictly above the current
+          // watermark (clamped; a past-due arm fires next batch); batch
+          // execution has no watermark and no timeouts — both calls
+          // degrade to no-ops there
+          def armAt(ms: Long): Unit = {
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            try state.setTimeoutTimestamp(math.max(ms, wm + 1))
+            catch { case _: UnsupportedOperationException => () }
+          }
           if (state.hasTimedOut) {
-            // watermark passed t1 + window: counts are final — keep a
-            // closed tombstone (not remove) so re-entry cannot re-anchor
             val st = state.get
-            state.update(st.copy(closed = true))
-            FunnelUser(uid, stepOpt(st.t1), stepOpt(st.t2), stepOpt(st.t3))
+            if (st.closed || st.t1 < 0) {
+              // horizon expiry (bounded mode only — unbounded never
+              // arms on a tombstone or anchor-less state): drop the
+              // entry; the re-emitted triple is final, so max()-reduce
+              // consumers are unaffected
+              guards.horizonEvictions.add(1)
+              state.remove()
+              FunnelUser(uid, stepOpt(st.t1), stepOpt(st.t2), stepOpt(st.t3))
+            } else {
+              // watermark passed t1 + window: counts are final — keep a
+              // closed tombstone (not remove) so re-entry cannot
+              // re-anchor; bounded mode re-arms the horizon drop
+              state.update(st.copy(closed = true))
+              if (bounded) armAt((st.t1 + winUs + horizonUs) / 1000)
+              FunnelUser(uid, stepOpt(st.t1), stepOpt(st.t2), stepOpt(st.t3))
+            }
           } else {
             var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
             evs.toSeq.sortBy(e => tsMicros(e.ts)).foreach { e =>
@@ -413,16 +468,15 @@ object EventStream {
               if (us > st.maxUs) st = st.copy(maxUs = us)
             }
             state.update(st)
-            if (st.t1 >= 0 && !st.closed) {
-              // timeout clock is MILLIS; must stay strictly above the
-              // current watermark (batch execution: no watermark, no
-              // timeouts — fall through, same as sessionize)
-              val wm = try state.getCurrentWatermarkMs()
-                catch { case _: UnsupportedOperationException => Long.MinValue }
-              try state.setTimeoutTimestamp(
-                math.max((st.t1 + winUs) / 1000, wm + 1))
-              catch { case _: UnsupportedOperationException => () }
-            }
+            // the timeout RESETS on every invocation (GroupState
+            // contract), so each phase re-arms its own clock (MILLIS):
+            // open chain → close at t1+win; tombstone / anchor-less
+            // (bounded mode) → horizon drop
+            if (st.t1 >= 0 && !st.closed) armAt((st.t1 + winUs) / 1000)
+            else if (bounded && st.closed)
+              armAt((st.t1 + winUs + horizonUs) / 1000)
+            else if (bounded && st.t1 < 0)
+              armAt(st.maxUs / 1000 + horizonUs / 1000)
             FunnelUser(uid, stepOpt(st.t1), stepOpt(st.t2), stepOpt(st.t3))
           }
       }
@@ -506,12 +560,18 @@ object EventStream {
       Jdbc.readAll(spark, url, table)
     }
 
+  /** Width of the retention bitmask: week offsets 0 to 63 (≈15 months
+    * of rolling weeks). Offsets past it are counted drops
+    * (`guards.maskOverflow`); a deployment tracking longer horizons
+    * shards the epoch or widens to an array. The mask also defines the
+    * state's INERT point — past `firstUs + MaskWeeks·weekUs` every
+    * further event is a counted drop, which is why the horizon
+    * eviction anchors there. */
+  val MaskWeeks: Int = 64
+
   /** Retention state: the user's first-event anchor (micros; −1 = none
     * yet) and a bitmask of week offsets already emitted — two longs per
-    * user. The mask covers offsets 0–63 (≈15 months of rolling weeks);
-    * a production deployment tracking longer horizons shards the epoch
-    * or widens to an array, the same way it would bound any per-key
-    * state. */
+    * user. */
   final case class RetentionState(firstUs: Long, mask: Long)
   final case class RetentionHit(user_id: Long, first_us: Long,
       week_offset: Long)
@@ -526,33 +586,67 @@ object EventStream {
     * the anchor is not replayed) — and the same breach counters: a late
     * event BELOW the fixed anchor increments `guards.anchorViolations`
     * (its week bucket is computed against an anchor the batch twin
-    * would have moved), and a week offset >= 64 — past the bitmask — is
-    * dropped LOUDLY via `guards.maskOverflow` instead of silently
-    * under-reporting vs batch z20 (ADVICE r13). */
+    * would have moved), and a week offset >= [[MaskWeeks]] — past the
+    * bitmask — is dropped LOUDLY via `guards.maskOverflow` instead of
+    * silently under-reporting vs batch z20 (ADVICE r13).
+    *
+    * State-lifetime bound (VERDICT r14 ask #1, opt-in): with
+    * `horizonUs` set, an `EventTimeTimeout` arms at
+    * `firstUs + MaskWeeks·weekUs + horizonUs` — the mask makes any
+    * older state permanently INERT (every further event is already a
+    * counted mask-overflow drop), so dropping it loses nothing but the
+    * drop COUNTER for that user; `horizonUs` is how much longer past
+    * inertness the counter stays live. Evictions are counted in
+    * `guards.horizonEvictions`. Beyond the horizon a returning user
+    * re-anchors a fresh cohort (above the watermark by Spark's own
+    * late-row filter, hence ≥ MaskWeeks weeks past the old anchor).
+    * Default `Long.MaxValue` never arms — state is two longs per
+    * user-ever-seen, the pre-r15 semantics. */
   def retentionHits(events: Dataset[FunnelEvent], weekUs: Long,
-      guards: StreamGuards): Dataset[RetentionHit] = {
+      guards: StreamGuards,
+      horizonUs: Long = Long.MaxValue): Dataset[RetentionHit] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
+    val bounded = horizonUs != Long.MaxValue
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RetentionState, RetentionHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, evs, state: GroupState[RetentionState]) =>
-          val sorted = evs.toSeq.sortBy(e => tsMicros(e.ts))
-          var st = state.getOption.getOrElse(RetentionState(-1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
-          sorted.foreach { e =>
-            val us = tsMicros(e.ts)
-            if (st.firstUs < 0) st = st.copy(firstUs = us)
-            else if (us < st.firstUs) guards.anchorViolations.add(1)
-            val off = (us - st.firstUs) / weekUs
-            if (off >= 64) guards.maskOverflow.add(1)
-            else if (off >= 0 && (st.mask & (1L << off)) == 0) {
-              st = st.copy(mask = st.mask | (1L << off))
-              out += RetentionHit(uid, st.firstUs, off)
+          if (state.hasTimedOut) {
+            // watermark passed the inert point + horizon: drop (bounded
+            // mode only — unbounded never arms). Nothing to emit: every
+            // emittable week was either emitted or counted as overflow.
+            guards.horizonEvictions.add(1)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => tsMicros(e.ts))
+            var st = state.getOption.getOrElse(RetentionState(-1L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              if (st.firstUs < 0) st = st.copy(firstUs = us)
+              else if (us < st.firstUs) guards.anchorViolations.add(1)
+              val off = (us - st.firstUs) / weekUs
+              if (off >= MaskWeeks) guards.maskOverflow.add(1)
+              else if (off >= 0 && (st.mask & (1L << off)) == 0) {
+                st = st.copy(mask = st.mask | (1L << off))
+                out += RetentionHit(uid, st.firstUs, off)
+              }
             }
+            state.update(st)
+            if (bounded) {
+              // timeout resets every invocation — re-arm (MILLIS,
+              // clamped strictly above the watermark; batch execution
+              // throws on both calls and degrades to a no-op)
+              val wm = try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => Long.MinValue }
+              try state.setTimeoutTimestamp(math.max(
+                (st.firstUs + MaskWeeks * weekUs + horizonUs) / 1000, wm + 1))
+              catch { case _: UnsupportedOperationException => () }
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

@@ -229,6 +229,121 @@ class StreamGuardsSpec extends SparkSpec {
     }
   }
 
+  describe("opt-in horizon eviction bounds state lifetime (r14 ask #1)") {
+
+    // feed both arms identically; only horizonUs differs
+    def driveFunnel(name: String, horizonUs: Long) = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStream.FunnelEvent]
+      val guards = EventStream.StreamGuards(spark, s"t_$name")
+      val q = EventStream.funnelChain(
+          mem.toDS().withWatermark("ts", "0 seconds"),
+          winUs = 1000000L, guards = guards, horizonUs = horizonUs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      // batch 1: two real chains anchor at 1 s (close timeout at 2 s,
+      // horizon drop at 2 s + 2 s = 4 s when bounded)
+      mem.addData(fe(1, 1000, "view"), fe(1, 1500, "click"),
+        fe(2, 1000, "view"))
+      q.processAllAvailable()
+      // clock batches (user 99 never anchors — event outside the
+      // funnel alphabet): wm 1.5 s → 10 s → 20 s. Batch 3 plans with
+      // wm 10 s > 2 s → chains close and (bounded) re-arm the horizon
+      // clamped above the 10 s watermark; batch 4 plans with wm 20 s
+      // → the horizon fires and the tombstones drop
+      mem.addData(fe(99, 10000, "other"))
+      q.processAllAvailable()
+      mem.addData(fe(99, 20000, "other"))
+      q.processAllAvailable()
+      mem.addData(fe(99, 30000, "other"))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      (mem, q, guards, stateRows)
+    }
+
+    it("funnel: tombstones drop after the lateness horizon — state rows " +
+        "shrink while pre-horizon output is unchanged, and each eviction " +
+        "is counted") {
+      val (_, qc, gc, rowsControl) = driveFunnel("t_hz_ctl", Long.MaxValue)
+      val (mem, qh, gh, rowsHorizon) = driveFunnel("t_hz_on", 2000000L)
+      try {
+        // control: users 1, 2 tombstoned + the anchor-less clock = 3
+        // rows forever; horizon arm: both tombstones dropped, only the
+        // clock's (itself horizon-armed) entry remains
+        assert(rowsControl == 3, s"control state rows: $rowsControl")
+        assert(rowsHorizon == 1, s"horizon state rows: $rowsHorizon")
+        assert(gc.horizonEvictions.value == 0)
+        assert(gh.horizonEvictions.value == 2,
+          s"both tombstones must be counted: ${gh.horizonEvictions.value}")
+        // PRE-horizon output identical: the max-reduced triples agree
+        def triples(t: String) = spark.table(t)
+          .filter(col("user_id") < 99)
+          .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"),
+            max("t3").as("t3"))
+          .orderBy("user_id").collect().toSeq
+        assert(triples("t_hz_on") == triples("t_hz_ctl"),
+          "horizon eviction must not change pre-horizon emissions")
+        // the documented trade, pinned: a user returning BEYOND the
+        // horizon re-anchors a fresh chain (in the control arm the
+        // tombstone would have counted it instead) — the eviction
+        // count bounds how many keys can have re-keyed this way
+        mem.addData(fe(1, 40000, "view"))
+        qh.processAllAvailable()
+        val t1s = spark.table("t_hz_on").filter(col("user_id") === 1)
+          .select(col("t1")).distinct().collect().map(_.getLong(0)).sorted
+        assert(t1s.toSeq == Seq(1000000L, 40000000L),
+          s"post-horizon return must re-anchor a fresh chain: ${t1s.toSeq}")
+        assert(gh.anchorViolations.value == 0,
+          "the re-anchor is the accepted trade, not a breach")
+      } finally { qc.stop(); qh.stop() }
+    }
+
+    it("retention: state drops once the watermark passes the mask's " +
+        "inert point + horizon, with the emitted cohort frame unchanged") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def drive(name: String, horizonUs: Long) = {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStream.FunnelEvent]
+        val guards = EventStream.StreamGuards(spark, s"t_$name")
+        val weekUs = 1000000L // 1 s weeks → mask inert 64 s past anchor
+        val q = EventStream.retentionHits(
+            mem.toDS().withWatermark("ts", "0 seconds"), weekUs, guards,
+            horizonUs = horizonUs)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        // user 1 anchors at 10 s (eviction due at 10+64+1 = 75 s);
+        // user 2's batches advance the watermark to 200 s, then 210 s
+        // — batch 3 plans with wm 200 s > 75 s and user 1 drops
+        mem.addData(fe(1, 10000, "view"))
+        q.processAllAvailable()
+        mem.addData(fe(2, 200000, "view"))
+        q.processAllAvailable()
+        mem.addData(fe(2, 210000, "view"))
+        q.processAllAvailable()
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        q.stop()
+        (guards, stateRows)
+      }
+      val (gc, rowsControl) = drive("t_hz_ret_ctl", Long.MaxValue)
+      val (gh, rowsHorizon) = drive("t_hz_ret_on", 1000000L)
+      assert(rowsControl == 2, s"control keeps every user ever: $rowsControl")
+      assert(rowsHorizon == 1, s"inert state must drop: $rowsHorizon")
+      assert(gc.horizonEvictions.value == 0)
+      assert(gh.horizonEvictions.value == 1)
+      // identical emissions either way: user 1 week 0; user 2 weeks 0, 10
+      def hits(t: String) = spark.table(t)
+        .select("user_id", "week_offset").orderBy("user_id", "week_offset")
+        .collect().toSeq
+      assert(hits("t_hz_ret_on") == hits("t_hz_ret_ctl"),
+        "horizon eviction must not change the emitted cohort frame")
+      assert(hits("t_hz_ret_on").map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((1L, 0L), (2L, 0L), (2L, 10L)))
+    }
+  }
+
   describe("retention guard counters (z22 contract breach)") {
 
     it("counts below-anchor late events and mask-overflow weeks instead " +
