@@ -108,6 +108,49 @@ object ExtensionOps {
        |       round(active_users / cohort_users, 4) AS retention_pct
        |FROM w ORDER BY cohort, week_offset""".stripMargin
 
+  /** Run the z24 streaming CMS through the PRODUCTION terminal (VERDICT
+    * r14 ask #2): update-mode `foreachBatch` upserting each batch's
+    * CHANGED cells into a JDBC (Derby) table keyed on (rw, cl) — the
+    * warehouse shape of a live heavy-hitters sketch. foreachBatch
+    * delivery is at-least-once under restart recovery, and CMS cells
+    * merge by SUM (not idempotent — CmsSpec pins that a replayed shard
+    * double-counts) — but the STREAM, not the sink, owns the summing:
+    * the state store maintains each cell's cumulative count exactly-
+    * once (the commit log replays a batch into the same state version),
+    * and every emission of a cell is therefore MONOTONE nondecreasing.
+    * So the funnel's trick applies verbatim: a replayed batch's upsert
+    * overwrites identical-or-newer values and the TABLE converges to
+    * exactly-once state. Source, checkpoint, and warehouse paths are
+    * explicit so a caller (the restart spec) can stop the query, append
+    * late files, and restart the SAME checkpoint — proving state + sink
+    * survive a kill/restart and still reproduce the batch-computed
+    * sketch bit-for-bit. */
+  def runCmsToJdbc(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, srcSchema: org.apache.spark.sql.types.StructType,
+      ckpt: String, dbDir: String, table: String = "cms_jdbc",
+      queryName: String = "event_cms_jdbc",
+      stateShards: Int = EventStream.DefaultStateShards): DataFrame =
+    EventStream.withStateShards(spark, stateShards) {
+      import graft.sources.Jdbc
+      val url = Jdbc.derbyUrl(dbDir)
+      val cells = spark.readStream.schema(srcSchema).parquet(srcDir)
+        .select(graft.functions.PolyHash64
+          .polyhash64(col("user_id").cast("string")).as("h"))
+        .select(TextOps.cmsCells.as("rc"))
+        .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = cells.writeStream
+        .queryName(queryName)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          Jdbc.upsertBatch(batch, url, table, Seq("rw", "cl")))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Jdbc.readAll(spark, url, table)
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Multimodal asset profile over binary columns: per-modality counts,

@@ -66,7 +66,7 @@ object EventStream {
     * start. The session conf is restored after the run (the shard
     * count is captured at query START, so the restore cannot race the
     * batches). */
-  private def withStateShards[A](spark: SparkSession, n: Int)(body: => A): A = {
+  private[graft] def withStateShards[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
