@@ -190,6 +190,65 @@ object ArchZoo {
       MocssEmbed)
   }
 
+  /** MOCSS-3V — the THREE-view survival variant
+    * (Simulation_Auxiliary/mocss_survival.py; adjudicated in VERDICT
+    * r14 "What's missing" #1: the file is 94.8% identical to mocss.py,
+    * dormant as shipped — it imports a `Supcon` module the reference
+    * does not contain — and its one novel computation is this
+    * composition). Per view v: shared + specific 4-layer tanh encoders
+    * (d_v→512→256→128→64, n_units at mocss_survival.py:139), mirrored
+    * tanh decoders with a sigmoid reconstruction head (:146,
+    * forward :281-345), and a shared-only tanh MLP head 64→64→16
+    * (mlp_size=[64,16]). Loss (:110-137): Σ_v O1-ortho(shared_v,
+    * specific_v) + Σ_{pairs} NT-Xent(mlp_i, mlp_j, τ) +
+    * 0.7 · Σ_v [recon(shared_v_rec, x_v) + recon(specific_v_rec, x_v)]
+    * — with the GLOBAL-MEAN centering ACTIVE in all three families
+    * (:40-41, :55-58, :75-78; the two-view selection scripts keep
+    * those lines commented out). Defaults: view_size=[1000,1000,503]
+    * (:139), temperature 0.4 (:366), recon weight 0.7 (:134). */
+  def mocss3(d1: Int, d2: Int, d3: Int, reconMultiplier: Double = 0.7,
+      temperature: Double = 0.4): Arch = {
+    def tanhStack(dims: Seq[Int]): Mlp = Mlp(
+      dims.sliding(2).flatMap { case Seq(i, o) =>
+        Vector(LinearSpec(i, o), TanhSpec) }.toVector)
+    def recStack(dims: Seq[Int], outDim: Int): Mlp = Mlp(
+      (dims.sliding(2).flatMap { case Seq(i, o) =>
+        Vector(LinearSpec(i, o), TanhSpec) }.toVector
+        :+ LinearSpec(dims.last, outDim)) :+ SigmoidSpec)
+    val u = Seq(512, 256, 128, 64)  // n_units_{1,2,3}
+    val mlpDims = Seq(64, 64, 16)   // mlp head over shared_em
+    val ds = Seq(d1, d2, d3)
+    // per view: [shared_em, specific_em, shared_rec, specific_rec, mlp]
+    val nodes = Vector.newBuilder[GNode]
+    nodes ++= Seq(GView(0), GView(1), GView(2))
+    var next = 3
+    val outs = Map.newBuilder[String, Int]
+    ds.zipWithIndex.foreach { case (d, v) =>
+      val sharedEm = next; nodes += GStack(v, tanhStack(d +: u))
+      val specEm = next + 1; nodes += GStack(v, tanhStack(d +: u))
+      nodes += GStack(sharedEm, recStack(u.reverse, d))
+      nodes += GStack(specEm, recStack(u.reverse, d))
+      nodes += GStack(sharedEm, tanhStack(mlpDims))
+      val n = v + 1
+      outs += s"shared$n" -> sharedEm
+      outs += s"specific$n" -> specEm
+      outs += s"shared${n}_rec" -> (next + 2)
+      outs += s"specific${n}_rec" -> (next + 3)
+      outs += s"mlp$n" -> (next + 4)
+      next += 5
+    }
+    val g = AeGraph(nodes.result(), outs.result())
+    val ortho = (1 to 3).map(v =>
+      OrthoO1Term(s"shared$v", s"specific$v", 1.0, center = true))
+    val contrastive = Seq((1, 2), (1, 3), (2, 3)).map { case (i, j) =>
+      NtXentTerm(s"mlp$i", s"mlp$j", temperature, center = true) }
+    val recon = (1 to 3).flatMap(v => Seq(
+      ReconTerm(s"shared${v}_rec", v - 1, reconMultiplier, center = true),
+      ReconTerm(s"specific${v}_rec", v - 1, reconMultiplier, center = true)))
+    Arch("MOCSS-3V",
+      GraphModel(g, (ortho ++ contrastive ++ recon).toVector), MocssEmbed)
+  }
+
   /** All 8 at the reference dims, keyed by the AE_results naming
     * (AE_results.ipynb cell 18 name mapping). */
   def all(d1: Int, d2: Int, orthoMultiplier: Double = 1.0): Seq[Arch] = Seq(

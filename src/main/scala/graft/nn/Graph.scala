@@ -80,19 +80,22 @@ final case class GraphModel(graph: AeGraph, loss: Vector[LossTerm])
   }
 
   private def runForward(params: Array[Double], stats: Array[Double],
-      x1: DenseMatrix[Double], x2: DenseMatrix[Double], train: Boolean,
+      views: IndexedSeq[DenseMatrix[Double]], train: Boolean,
       rng: java.util.Random)
       : (Array[DenseMatrix[Double]], Array[Kernel.MlpRunner]) = {
     val (po, so) = offsets
     // F32 probe no-ops unless -Dgraft.kernel.f32=true (the reference
     // casts each batch to torch.float32 — Kernel.F32 scaladoc)
-    Kernel.qm(x1); Kernel.qm(x2)
+    views.foreach(Kernel.qm)
     val vals = new Array[DenseMatrix[Double]](graph.nodes.length)
     val runners = new Array[Kernel.MlpRunner](graph.nodes.length)
     graph.nodes.zipWithIndex.foreach { case (n, i) =>
       n match {
-        case GView(0) => vals(i) = x1
-        case GView(_) => vals(i) = x2
+        case GView(v) =>
+          // graphs may reference fewer views than supplied, never more
+          require(v < views.length,
+            s"graph references view $v but only ${views.length} supplied")
+          vals(i) = views(v)
         case GConcat(deps) =>
           vals(i) = deps.map(vals).reduce(DenseMatrix.horzcat(_, _))
         case GStack(dep, mlp) =>
@@ -107,22 +110,35 @@ final case class GraphModel(graph: AeGraph, loss: Vector[LossTerm])
 
   def evalOutputs(params: Array[Double], stats: Array[Double],
       x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+      : Map[String, DenseMatrix[Double]] =
+    evalOutputsViews(params, stats, IndexedSeq(x1, x2))
+
+  /** N-view forward (the two-view [[AeModel]] surface delegates here;
+    * the three-view MOCSS survival arch calls it directly). */
+  def evalOutputsViews(params: Array[Double], stats: Array[Double],
+      views: IndexedSeq[DenseMatrix[Double]])
       : Map[String, DenseMatrix[Double]] = {
-    val (vals, _) = runForward(params, stats, x1, x2, train = false,
+    val (vals, _) = runForward(params, stats, views, train = false,
       new java.util.Random(0))
     graph.outputs.map { case (k, i) => k -> vals(i) }
   }
 
   def batchGradient(params: Array[Double], stats: Array[Double],
       x1: DenseMatrix[Double], x2: DenseMatrix[Double],
+      rng: java.util.Random): Kernel.BatchResult =
+    batchGradientViews(params, stats, IndexedSeq(x1, x2), rng)
+
+  /** N-view loss + gradient (see [[evalOutputsViews]]). */
+  def batchGradientViews(params: Array[Double], stats: Array[Double],
+      views: IndexedSeq[DenseMatrix[Double]],
       rng: java.util.Random): Kernel.BatchResult = {
-    val (vals, runners) = runForward(params, stats, x1, x2, train = true, rng)
+    val (vals, runners) = runForward(params, stats, views, train = true, rng)
     val outs = graph.outputs.map { case (k, i) => k -> vals(i) }
 
     var total = 0.0
     val outGrads = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
     loss.foreach { term =>
-      val (l, gs) = term.compute(outs, x1, x2)
+      val (l, gs) = term.compute(outs, views)
       total = Kernel.q(total + Kernel.q(l))
       gs.foreach { case (k, g) =>
         outGrads(k) = outGrads.get(k).map(_ + Kernel.qm(g)).getOrElse(Kernel.qm(g))
@@ -168,6 +184,6 @@ final case class GraphModel(graph: AeGraph, loss: Vector[LossTerm])
       case _ =>
     }
     Kernel.BatchResult(Kernel.q(total), Kernel.qa(grads), Kernel.qa(bs),
-      x1.rows)
+      views.head.rows)
   }
 }

@@ -9,11 +9,20 @@ import breeze.linalg.{DenseMatrix, DenseVector}
   *   JISAE-O1/2/3:   recon + mult·ortho (JISAE-O{1,2,3}_selection.py)
   *   MOCSS:          ortho + contrastive + mult·recon
   *                   (MOCSS_AE_model_selection.py:291, temperature 0.4)
-  * All gradients are validated by finite differences in NnGraphSpec.
+  *   MOCSS-3V:       the three-view survival variant
+  *                   (Simulation_Auxiliary/mocss_survival.py:110-137) —
+  *                   same three families summed over three views /
+  *                   three shared-head pairs, with the GLOBAL-MEAN
+  *                   centering ACTIVE (the two-view selection scripts
+  *                   keep those lines commented out; the survival file
+  *                   activates them — its one novel computation).
+  * Terms see the batch's views as an indexed sequence so compositions
+  * over any view count share one code path. All gradients are
+  * validated by finite differences in NnGraphSpec.
   */
 sealed trait LossTerm extends Serializable {
   def compute(outs: Map[String, DenseMatrix[Double]],
-      x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+      views: IndexedSeq[DenseMatrix[Double]])
       : (Double, Map[String, DenseMatrix[Double]])
 }
 
@@ -37,30 +46,51 @@ object LossTerm {
     }
     out
   }
+
+  /** `x − mean(x)` with a GLOBAL scalar mean over every entry — the
+    * torch `x - x.mean()` the survival variant applies before row
+    * normalization (mocss_survival.py:40-41, 55-58, 75-78). */
+  private[nn] def centerGlobal(x: DenseMatrix[Double]): DenseMatrix[Double] =
+    x - (breeze.linalg.sum(x) / (x.rows.toDouble * x.cols))
+
+  /** Backward of [[centerGlobal]]: dL/dx = g − mean(g) (the subtracted
+    * scalar collects −1/N of every entry's gradient). */
+  private[nn] def centerBackward(g: DenseMatrix[Double]): DenseMatrix[Double] =
+    g - (breeze.linalg.sum(g) / (g.rows.toDouble * g.cols))
 }
 
 /** CustomLoss recon term: weight · ‖rownorm(out)−rownorm(target view)‖_F
-  * (CNC_AE_model_selection.py:209-229). */
-final case class ReconTerm(out: String, view: Int, weight: Double = 1.0)
-    extends LossTerm {
+  * (CNC_AE_model_selection.py:209-229). `center` additionally subtracts
+  * each matrix's global mean first (mocss_survival.py:75-78). */
+final case class ReconTerm(out: String, view: Int, weight: Double = 1.0,
+    center: Boolean = false) extends LossTerm {
   def compute(outs: Map[String, DenseMatrix[Double]],
-      x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+      views: IndexedSeq[DenseMatrix[Double]])
       : (Double, Map[String, DenseMatrix[Double]]) = {
-    val target = if (view == 0) x1 else x2
-    val (l, g) = Kernel.frobeniusNormalizedLoss(outs(out), target)
-    (weight * l, Map(out -> (g * weight)))
+    val target = views(view)
+    val (rec, ori) =
+      if (center) (LossTerm.centerGlobal(outs(out)),
+        LossTerm.centerGlobal(target))
+      else (outs(out), target)
+    val (l, g) = Kernel.frobeniusNormalizedLoss(rec, ori)
+    val gOut = if (center) LossTerm.centerBackward(g) else g
+    (weight * l, Map(out -> (gOut * weight)))
   }
 }
 
 /** O1 ortho: weight · mean(rownorm(a) ⊙ rownorm(b))
-  * (JISAE-O1_selection.py:266-293; model_structures.py:1466-1474). */
-final case class OrthoO1Term(a: String, b: String, weight: Double)
-    extends LossTerm {
+  * (JISAE-O1_selection.py:266-293; model_structures.py:1466-1474).
+  * `center` subtracts each matrix's global mean before normalizing
+  * (mocss_survival.py:40-41). */
+final case class OrthoO1Term(a: String, b: String, weight: Double,
+    center: Boolean = false) extends LossTerm {
   def compute(outs: Map[String, DenseMatrix[Double]],
-      x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+      views: IndexedSeq[DenseMatrix[Double]])
       : (Double, Map[String, DenseMatrix[Double]]) = {
-    val (ah, an) = Kernel.rowNormalize(outs(a))
-    val (bh, bn) = Kernel.rowNormalize(outs(b))
+    val rawA = if (center) LossTerm.centerGlobal(outs(a)) else outs(a)
+    val rawB = if (center) LossTerm.centerGlobal(outs(b)) else outs(b)
+    val (ah, an) = Kernel.rowNormalize(rawA)
+    val (bh, bn) = Kernel.rowNormalize(rawB)
     val nd = ah.rows.toDouble * ah.cols
     var l = 0.0
     var r = 0
@@ -70,9 +100,12 @@ final case class OrthoO1Term(a: String, b: String, weight: Double)
       r += 1
     }
     l /= nd
-    val gA = LossTerm.normBackward(ah, an, bh * (weight / nd))
-    val gB = LossTerm.normBackward(bh, bn, ah * (weight / nd))
-    (weight * l, Map(a -> gA, b -> gB))
+    def back(hat: DenseMatrix[Double], norms: DenseVector[Double],
+        other: DenseMatrix[Double]): DenseMatrix[Double] = {
+      val g = LossTerm.normBackward(hat, norms, other * (weight / nd))
+      if (center) LossTerm.centerBackward(g) else g
+    }
+    (weight * l, Map(a -> back(ah, an, bh), b -> back(bh, bn, ah)))
   }
 }
 
@@ -81,7 +114,7 @@ final case class OrthoO1Term(a: String, b: String, weight: Double)
 final case class OrthoO2Term(a: String, b: String, weight: Double)
     extends LossTerm {
   def compute(outs: Map[String, DenseMatrix[Double]],
-      x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+      views: IndexedSeq[DenseMatrix[Double]])
       : (Double, Map[String, DenseMatrix[Double]]) = {
     val (ah, an) = Kernel.rowNormalize(outs(a))
     val (bh, bn) = Kernel.rowNormalize(outs(b))
@@ -111,7 +144,7 @@ final case class OrthoO2Term(a: String, b: String, weight: Double)
 final case class OrthoO3Term(a: String, b: String, weight: Double)
     extends LossTerm {
   def compute(outs: Map[String, DenseMatrix[Double]],
-      x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+      views: IndexedSeq[DenseMatrix[Double]])
       : (Double, Map[String, DenseMatrix[Double]]) = {
     val (ah, an) = Kernel.rowNormalize(outs(a))
     val (bh, bn) = Kernel.rowNormalize(outs(b))
@@ -137,14 +170,18 @@ final case class OrthoO3Term(a: String, b: String, weight: Double)
 /** M16 — NT-Xent instance contrastive loss on two row-normalized heads
   * (Simulation_Auxiliary/contrastive_loss.py:8-67: sim = z·zᵀ/τ over the
   * 2B stacked rows, positives at ±B, self and partner masked out of the
-  * negatives, CrossEntropy sum / 2B). Batch-local math (B ≤ 512). */
+  * negatives, CrossEntropy sum / 2B). Batch-local math (B ≤ 512).
+  * `center` subtracts each head's global mean before normalizing
+  * (mocss_survival.py:55-58). */
 final case class NtXentTerm(a: String, b: String, temperature: Double,
-    weight: Double = 1.0) extends LossTerm {
+    weight: Double = 1.0, center: Boolean = false) extends LossTerm {
   def compute(outs: Map[String, DenseMatrix[Double]],
-      x1: DenseMatrix[Double], x2: DenseMatrix[Double])
+      views: IndexedSeq[DenseMatrix[Double]])
       : (Double, Map[String, DenseMatrix[Double]]) = {
-    val (ah, an) = Kernel.rowNormalize(outs(a))
-    val (bh, bn) = Kernel.rowNormalize(outs(b))
+    val rawA = if (center) LossTerm.centerGlobal(outs(a)) else outs(a)
+    val rawB = if (center) LossTerm.centerGlobal(outs(b)) else outs(b)
+    val (ah, an) = Kernel.rowNormalize(rawA)
+    val (bh, bn) = Kernel.rowNormalize(rawB)
     val bsz = ah.rows
     val n = 2 * bsz
     val z = DenseMatrix.vertcat(ah, bh)
@@ -187,7 +224,10 @@ final case class NtXentTerm(a: String, b: String, temperature: Double,
     val dZ = ((gSim + gSim.t) * z) / temperature
     val gNormA = dZ(0 until bsz, ::).copy * weight
     val gNormB = dZ(bsz until n, ::).copy * weight
-    (weight * loss, Map(a -> LossTerm.normBackward(ah, an, gNormA),
-      b -> LossTerm.normBackward(bh, bn, gNormB)))
+    val gA = LossTerm.normBackward(ah, an, gNormA)
+    val gB = LossTerm.normBackward(bh, bn, gNormB)
+    (weight * loss, Map(
+      a -> (if (center) LossTerm.centerBackward(gA) else gA),
+      b -> (if (center) LossTerm.centerBackward(gB) else gB)))
   }
 }

@@ -54,6 +54,87 @@ class NnGraphSpec extends SparkSpec {
     it("JISAE-O3")  { gradCheck("o3", ArchZoo.jisaeO3(6, 4, 0.5).model) }
     it("MOCSS (incl. NT-Xent)") { gradCheck("mocss",
       ArchZoo.mocss(6, 4, 0.7).model) }
+
+    it("MOCSS-3V: the three-view survival composition (centered " +
+        "ortho/NT-Xent/recon over three views) passes the same check") {
+      // mocss_survival.py:110-137 — every constituent family was
+      // already gradient-validated two-view; this pins the three-view
+      // wiring AND the activated global-mean centering's backward
+      val model = ArchZoo.mocss3(6, 4, 5).model
+      val (params, stats) = model.initParams(seed = 5)
+      val views = IndexedSeq(randMat(6, 6, 11), randMat(6, 4, 13),
+        randMat(6, 5, 17))
+      def loss(p: Array[Double]): Double = model.batchGradientViews(
+        p, stats, views, new java.util.Random(7)).loss
+      val analytic = model.batchGradientViews(params, stats, views,
+        new java.util.Random(7)).grads
+      val h = 1e-6
+      val rng = new java.util.Random(3)
+      var checked = 0
+      var failures = List.empty[String]
+      while (checked < 18) {
+        val i = rng.nextInt(model.paramCount)
+        val pPlus = params.clone(); pPlus(i) += h
+        val pMinus = params.clone(); pMinus(i) -= h
+        val numeric = (loss(pPlus) - loss(pMinus)) / (2 * h)
+        val scale = math.abs(numeric) + math.abs(analytic(i))
+        if (scale > 1e-7) {
+          checked += 1
+          val rel = math.abs(numeric - analytic(i)) / math.max(scale, 1e-4)
+          if (rel > 1e-4)
+            failures ::= f"mocss3 param $i: num=$numeric%.8g " +
+              f"ana=${analytic(i)}%.8g"
+        } else checked += 1
+      }
+      assert(failures.isEmpty, failures.mkString("; "))
+    }
+
+    it("MOCSS-3V structure: published view_size [1000,1000,503] " +
+        "parameter count and per-view output wiring") {
+      val arch = ArchZoo.mocss3(1000, 1000, 503)
+      // per view d: 2 tanh encoders (d->512->256->128->64), 2 mirrored
+      // decoders (64->128->256->512->d + sigmoid head), one 64->64->16
+      // mlp: enc = 512d+172992, dec = 513d+172928, mlp = 5200
+      // => 2050d + 697040 per view; d = {1000, 1000, 503}
+      assert(arch.model.paramCount == 7222270L,
+        s"paramCount=${arch.model.paramCount}")
+      val g = arch.model.asInstanceOf[GraphModel].graph
+      assert(g.outputs.keySet == (1 to 3).flatMap(v => Seq(s"shared$v",
+        s"specific$v", s"shared${v}_rec", s"specific${v}_rec",
+        s"mlp$v")).toSet)
+    }
+
+    it("MOCSS-3V centering: the survival variant's activated global-" +
+        "mean centering makes each term shift-invariant (the uncentered " +
+        "two-view terms are not)") {
+      val outs = Map("s" -> randMat(5, 4, 21), "p" -> randMat(5, 4, 22))
+      val shifted = outs.map { case (k, m) => k -> (m + 3.7) }
+      val views = IndexedSeq(randMat(5, 3, 23))
+      def l(t: LossTerm, o: Map[String, DenseMatrix[Double]]) =
+        t.compute(o, views)._1
+      val cOrtho = OrthoO1Term("s", "p", 1.0, center = true)
+      val pOrtho = OrthoO1Term("s", "p", 1.0)
+      assert(math.abs(l(cOrtho, outs) - l(cOrtho, shifted)) < 1e-12,
+        "centered ortho must be invariant to a global shift")
+      assert(math.abs(l(pOrtho, outs) - l(pOrtho, shifted)) > 1e-6,
+        "uncentered ortho must NOT be (the two variants really differ)")
+      val cNt = NtXentTerm("s", "p", 0.4, center = true)
+      val pNt = NtXentTerm("s", "p", 0.4)
+      assert(math.abs(l(cNt, outs) - l(cNt, shifted)) < 1e-10)
+      assert(math.abs(l(pNt, outs) - l(pNt, shifted)) > 1e-8)
+      // recon centering: invariant when rec AND ori shift alike (each
+      // matrix is centered independently); the uncentered term is not
+      val rViews = IndexedSeq(randMat(5, 4, 24))
+      val rShifted = IndexedSeq(rViews(0) + 3.7)
+      val cRec = ReconTerm("s", 0, 0.7, center = true)
+      val pRec = ReconTerm("s", 0, 0.7)
+      assert(math.abs(cRec.compute(outs, rViews)._1 -
+        cRec.compute(shifted, rShifted)._1) < 1e-12,
+        "centered recon must be invariant to shifting rec and ori alike")
+      assert(math.abs(pRec.compute(outs, rViews)._1 -
+        pRec.compute(shifted, rShifted)._1) > 1e-8,
+        "uncentered recon must NOT be")
+    }
   }
 
   describe("Graph training end-to-end") {
