@@ -59,10 +59,47 @@ object TextOps {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let the
     * ContextCleaner delete files as RDDs are GC'd). Measured volume:
     * ~1.5 MB per x33 run at sf0.1 — BENCH_SCALES §r14. */
+  /** Reliable-mode checkpoint interval (VERDICT r14 ask #6):
+    * `spark.graft.checkpoint.interval` = N makes the per-round loops
+    * pay the durable write+read on every Nth cut only — the standard
+    * GraphX-style amortization. Rounds between cuts KEEP their lineage
+    * (never localCheckpoint — that would truncate the recompute path
+    * and reintroduce exactly the executor-loss abort the reliable mode
+    * exists to prevent), so a lost executor recomputes at most N−1
+    * rounds from the last durable frame. The trade is Catalyst plan
+    * growth inside the window: the pointer-jump self-join doubles the
+    * plan per carried round, so N is clamped to ≤ 8. Default 1 = the
+    * r14 behavior (cut every round); ignored outside reliable mode
+    * (localCheckpoint is too cheap to be worth deeper plans). */
+  val CheckpointIntervalKey = "spark.graft.checkpoint.interval"
+
+  private def confOpt(spark: org.apache.spark.sql.SparkSession,
+      key: String): Option[String] =
+    spark.conf.getOption(key)
+      .orElse(spark.sparkContext.getConf.getOption(key))
+
+  /** Per-loop truncation schedule: `apply` either cuts (via [[truncate]])
+    * or carries the frame per [[CheckpointIntervalKey]]. One instance
+    * per loop — the counter is the loop's round clock. Anchor frames
+    * built BEFORE a loop (edge lists, degree tables — read by every
+    * round) always cut via [[truncate]] directly. */
+  private[graft] final class RoundTruncate(
+      spark: org.apache.spark.sql.SparkSession) {
+    private val reliable =
+      confOpt(spark, ReliableCheckpointKey).exists(_.nonEmpty)
+    private[operators] val interval =
+      if (!reliable) 1
+      else math.min(8, math.max(1,
+        confOpt(spark, CheckpointIntervalKey).map(_.trim.toInt).getOrElse(1)))
+    private var calls = 0
+    def apply(df: DataFrame): DataFrame = {
+      calls += 1
+      if (calls % interval != 0) df else truncate(df)
+    }
+  }
+
   private[graft] def truncate(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(ReliableCheckpointKey)
-      .orElse(df.sparkSession.sparkContext.getConf
-        .getOption(ReliableCheckpointKey)) match {
+    confOpt(df.sparkSession, ReliableCheckpointKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
         // setCheckpointDir creates a fresh UUID subdir per call — only
@@ -918,6 +955,10 @@ object TextOps {
       .agg(least(col("u"), min(col("v"))).as("lbl")))
     var converged = false
     var rounds = 0
+    // per-round cuts follow the reliable-mode interval schedule
+    // (CheckpointIntervalKey); carried rounds recompute ≤ N−1 rounds
+    // on executor loss instead of aborting
+    val rt = new RoundTruncate(edges.sparkSession)
     while (!converged && rounds < 40) {
       // one frame per round carrying (u, old, lbl): propagate min over
       // neighbors, then pointer-jump through the round's own mapping.
@@ -931,7 +972,7 @@ object TextOps {
           least(col("lbl"), col("nlbl")).as("lbl1"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: adopt the label of the current label
-      val jumped = truncate(prop
+      val jumped = rt(prop
         .join(prop.select(col("u").as("lbl1"), col("lbl1").as("plbl")),
           Seq("lbl1"), "left")
         .select(col("u"), col("old"),
@@ -2275,8 +2316,9 @@ object TextOps {
     val deg = truncate(bi.groupBy("u").agg(count(lit(1)).as("d")))
     val n = deg.count()
     var pr = truncate(deg.select(col("u"), round(lit(1.0) / n, 6).as("r")))
+    val rt = new RoundTruncate(edges.sparkSession)
     for (_ <- 1 to iters) {
-      pr = truncate(bi.join(pr, Seq("u")).join(deg, Seq("u"))
+      pr = rt(bi.join(pr, Seq("u")).join(deg, Seq("u"))
         .groupBy(col("v"))
         .agg(round(lit(1.0 - damping) / n +
           lit(damping) * sum(col("r") / col("d")), 6).as("r"))
