@@ -151,6 +151,18 @@ object ExtensionOps {
       Jdbc.readAll(spark, url, table)
     }
 
+  /** z25 histogram geometry: QBins fixed bins of width QWidth cover
+    * values in [0, QBins·QWidth) = [0, 1024); out-of-range values
+    * clamp into the edge bins so the state bound holds for ANY input.
+    * QWidth is a power of two — value/QWidth is exact in IEEE double
+    * arithmetic, so the engine and the DuckDB oracle bin identically.
+    * Declared ABOVE `defs`: the oracle strings interpolate these
+    * EAGERLY at object init, and a val declared after `defs` would
+    * read as its zero default there (found the hard way — the oracle
+    * briefly baked `/ 0.0`). */
+  private[graft] val QWidth = 0.25
+  private[graft] val QBins = 4096
+
   val defs: Seq[QueryDef] = Seq(
 
     // Multimodal asset profile over binary columns: per-modality counts,
@@ -869,6 +881,118 @@ object ExtensionOps {
            |        FROM probes JOIN sketch USING (rw, cl)
            |        GROUP BY 1, 2)
            |SELECT user_id, n_exact, n_cms, n_cms - n_exact AS overest
-           |FROM cms ORDER BY n_exact DESC, user_id""".stripMargin))
+           |FROM cms ORDER BY n_exact DESC, user_id""".stripMargin)),
+
+    // Streaming histogram quantile sketch (z25): per-type value
+    // percentiles from B fixed-width bins — completing the streaming
+    // sketch trio (z23 HLL = distinct, z24 CMS = frequency, z25 =
+    // QUANTILES, the live-latency-percentile query every event
+    // pipeline runs). Same ORDER-ROBUST declarative shape: the whole
+    // stateful computation is one streaming groupBy(event_type, bin)
+    // .count() — map-side partial counts, state bounded BY DESIGN at
+    // types × QBins rows (the bin index is clamped into [0, QBins-1],
+    // so state cannot grow past the histogram no matter the values),
+    // no watermark/eviction. Counting is order-free and per-cell
+    // counts are MONOTONE, so update-mode re-emissions fold with max()
+    // and the result is exact under any delivery order or batch split
+    // (replays: sum-family algebra, same contract as z24 — the
+    // AvailableNow commit log rules them out, and the z24 JDBC-upsert
+    // terminal trick applies verbatim). The quantile finish reads only
+    // the sketch: smallest bin whose cumulative count reaches
+    // ceil(p·n); estimate = the bin's LOWER edge, so the error is
+    // one-sided in [0, QWidth) — pinned against the exact ceil(p·n)
+    // order statistic (the control arm a 100 TB run drops). QWidth is
+    // a POWER OF TWO (0.25), so value/QWidth is an exact mantissa
+    // shift and floor() is bit-identical on both engines; all
+    // geometry interpolates from the two constants (the x35/z24
+    // lesson — no baked literals).
+    QueryDef(
+      "z25_stream_quantiles",
+      (s, d) => {
+        val bin = least(greatest(floor(col("value") / QWidth), lit(0.0)),
+          lit((QBins - 1).toDouble)).cast("long").as("bin")
+        val regs = EventStream.eventsStream(s, d)
+          .select(col("event_type"), bin)
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        val emitted = EventStream.runUpdateAggOnce(s, regs,
+          queryName = s"graft_quant_${graft.etl.ScaleUtils.pathTag(d)}")
+        val sketch = emitted.groupBy("event_type", "bin")
+          .agg(max("cnt").as("cnt"))
+        val wCum = Window.partitionBy("event_type").orderBy("bin")
+        val wAll = Window.partitionBy("event_type")
+        val cum = sketch
+          .withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(wAll))
+        def estBin(p: Double) =
+          min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin")))
+        val est = cum.groupBy("event_type").agg(
+          max("n").as("n"),
+          estBin(0.5).as("b50"), estBin(0.9).as("b90"),
+          estBin(0.99).as("b99"))
+        val wRk = Window.partitionBy("event_type").orderBy("value")
+        val ranked = EventStream.readEvents(s, d)
+          .select(col("event_type"), col("value"))
+          .withColumn("rk", row_number().over(wRk))
+          .withColumn("nn", count(lit(1)).over(wAll))
+        def exactAt(p: Double) = max(when(col("rk") ===
+          greatest(lit(1L), ceil(lit(p) * col("nn"))), col("value")))
+        val exact = ranked.groupBy("event_type").agg(
+          exactAt(0.5).as("x50"), exactAt(0.9).as("x90"),
+          exactAt(0.99).as("x99"))
+        def cols(b: String, x: String, tag: String) = Seq(
+          round(col(b) * QWidth, 2).as(s"p${tag}_est"),
+          col(x).as(s"p${tag}_exact"),
+          round(col(x) - col(b) * QWidth, 4).as(s"p${tag}_err"))
+        est.join(exact, Seq("event_type"))
+          .select(col("event_type") +: col("n") +:
+            (cols("b50", "x50", "50") ++ cols("b90", "x90", "90") ++
+              cols("b99", "x99", "99")): _*)
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH b AS (SELECT event_type,
+           |         CAST(least(greatest(floor(value / $QWidth), 0),
+           |           ${QBins - 1}) AS BIGINT) AS bin
+           |       FROM events),
+           |sk AS (SELECT event_type, bin, count(*) AS cnt
+           |       FROM b GROUP BY 1, 2),
+           |c AS (SELECT event_type, bin, cnt,
+           |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+           |          AS cum,
+           |        sum(cnt) OVER (PARTITION BY event_type) AS n
+           |      FROM sk),
+           |est AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           |          min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END)
+           |            AS b50,
+           |          min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END)
+           |            AS b90,
+           |          min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END)
+           |            AS b99
+           |        FROM c GROUP BY 1),
+           |r AS (SELECT event_type, value,
+           |        row_number() OVER (PARTITION BY event_type
+           |          ORDER BY value) AS rk,
+           |        count(*) OVER (PARTITION BY event_type) AS nn
+           |      FROM events),
+           |ex AS (SELECT event_type,
+           |         max(CASE WHEN rk = greatest(1,
+           |           CAST(ceil(0.5 * nn) AS BIGINT)) THEN value END)
+           |           AS x50,
+           |         max(CASE WHEN rk = greatest(1,
+           |           CAST(ceil(0.9 * nn) AS BIGINT)) THEN value END)
+           |           AS x90,
+           |         max(CASE WHEN rk = greatest(1,
+           |           CAST(ceil(0.99 * nn) AS BIGINT)) THEN value END)
+           |           AS x99
+           |       FROM r GROUP BY 1)
+           |SELECT event_type, n,
+           |       round(b50 * $QWidth, 2) AS p50_est, x50 AS p50_exact,
+           |       round(x50 - b50 * $QWidth, 4) AS p50_err,
+           |       round(b90 * $QWidth, 2) AS p90_est, x90 AS p90_exact,
+           |       round(x90 - b90 * $QWidth, 4) AS p90_err,
+           |       round(b99 * $QWidth, 2) AS p99_est, x99 AS p99_exact,
+           |       round(x99 - b99 * $QWidth, 4) AS p99_err
+           |FROM est JOIN ex USING (event_type)
+           |ORDER BY event_type""".stripMargin))
   )
 }

@@ -53,6 +53,36 @@ class StreamOrderSpec extends SparkSpec {
     root.toString
   }
 
+  /** Same shuffled two-part layout, keeping the `value` column (the
+    * z25 histogram bins over it). */
+  private lazy val shuffledValueRoot: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-shuffled-v")
+    val target = root.resolve("events.parquet")
+    java.nio.file.Files.createDirectory(target)
+    val events = EventStream.readEvents(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val cut = events.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0)(0)
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String,
+        modMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-half-v")
+      events.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = target.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modMs))
+    }
+    val t0 = 1600000000000L
+    writeHalf(unix_micros(col("ts")) > cut, "part-0-later.parquet", t0)
+    writeHalf(unix_micros(col("ts")) <= cut, "part-1-earlier.parquet",
+      t0 + 60000)
+    root.toString
+  }
+
   private def shuffledStream = {
     // same reader shape as EventStream.eventsStream, plus the
     // one-file-per-batch option that makes the shuffle observable
@@ -121,6 +151,43 @@ class StreamOrderSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 &&
       batch.except(streamed).count() == 0,
       "shuffled-delivery counts must equal the in-order counts")
+  }
+
+  it("z25's histogram sketch is bit-identical under out-of-order " +
+      "multi-batch delivery, and the bin clamp bounds state for ANY " +
+      "value range") {
+    import org.apache.spark.sql.streaming.Trigger
+    val binsOf = (df: org.apache.spark.sql.Dataset[_]) => df
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / ExtensionOps.QWidth), lit(0.0)),
+          lit((ExtensionOps.QBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    // the shuffled fixture drops the value column — rebuild it from the
+    // corpus directly with a one-file-per-batch shuffled layout
+    val path = s"$shuffledValueRoot/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val q = binsOf(stream).writeStream.format("memory")
+      .queryName("t_order_quant").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val streamed = spark.table("t_order_quant")
+      .groupBy("event_type", "bin").agg(max("cnt").as("cnt"))
+    val batch = binsOf(EventStream.readEvents(spark, sf))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "shuffled-delivery histogram must equal the in-order histogram")
+    // the state bound is BY CONSTRUCTION: bins clamp into [0, QBins),
+    // so even a pathological value lands in an edge bin, never a new row
+    import spark.implicits._
+    val wild = Seq(("e", -1e18), ("e", 1e18), ("e", Double.MaxValue),
+      ("e", 12.3)).toDF("event_type", "value")
+    val bins = binsOf(wild).select("bin").collect().map(_.getLong(0)).sorted
+    assert(bins.forall(b => b >= 0 && b < ExtensionOps.QBins),
+      s"clamp must bound every bin: ${bins.toSeq}")
   }
 
   it("z23's register stream recovers across a checkpoint restart " +
