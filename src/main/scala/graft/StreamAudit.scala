@@ -72,7 +72,8 @@ object StreamAudit {
       else Seq("z4_stream_windowed", "z8_stream_append",
         "z9_stream_sessions", "z13_stream_join",
         "z15_stream_sessions_all", "z16_stream_session_window",
-        "z18_stream_dedup", "z21_stream_funnel", "z22_stream_retention")
+        "z18_stream_dedup", "z21_stream_funnel", "z22_stream_retention",
+        "z23_stream_hll", "z24_stream_cms", "z25_stream_quantiles")
     val listener = new Progress
     spark.streams.addListener(listener)
     println("[saudit] query,pass,wall_s,batches,trigger_ms,addBatch_ms," +

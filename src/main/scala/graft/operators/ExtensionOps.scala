@@ -129,22 +129,53 @@ object ExtensionOps {
       srcDir: String, srcSchema: org.apache.spark.sql.types.StructType,
       ckpt: String, dbDir: String, table: String = "cms_jdbc",
       queryName: String = "event_cms_jdbc",
-      stateShards: Int = EventStream.DefaultStateShards): DataFrame =
+      stateShards: Int = EventStream.DefaultStateShards): DataFrame = {
+    val cells = spark.readStream.schema(srcSchema).parquet(srcDir)
+      .select(graft.functions.PolyHash64
+        .polyhash64(col("user_id").cast("string")).as("h"))
+      .select(TextOps.cmsCells.as("rc"))
+      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+      .agg(count(lit(1)).as("cnt"))
+    runSketchToJdbc(spark, cells, Seq("rw", "cl"), ckpt, dbDir, table,
+      queryName, stateShards)
+  }
+
+  /** z25's histogram through the same terminal: cells keyed on
+    * (event_type, bin), identical convergence argument. */
+  def runQuantToJdbc(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, srcSchema: org.apache.spark.sql.types.StructType,
+      ckpt: String, dbDir: String, table: String = "quant_jdbc",
+      queryName: String = "event_quant_jdbc",
+      stateShards: Int = EventStream.DefaultStateShards): DataFrame = {
+    val bins = spark.readStream.schema(srcSchema).parquet(srcDir)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / QWidth), lit(0.0)),
+          lit((QBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    runSketchToJdbc(spark, bins, Seq("event_type", "bin"), ckpt, dbDir,
+      table, queryName, stateShards)
+  }
+
+  /** The shared terminal: run a monotone streaming cell aggregation to
+    * completion through update-mode `foreachBatch` upserting into a
+    * JDBC (Derby) table keyed on the cell coordinates, and read the
+    * table back. Preconditions the two callers establish: the
+    * aggregation's per-key values are MONOTONE nondecreasing across
+    * emissions (the state store owns the counting — a replayed batch
+    * re-emits the same cumulative values), so the at-least-once
+    * foreachBatch delivery converges the table to exactly-once state. */
+  private def runSketchToJdbc(spark: org.apache.spark.sql.SparkSession,
+      agg: DataFrame, keys: Seq[String], ckpt: String, dbDir: String,
+      table: String, queryName: String, stateShards: Int): DataFrame =
     EventStream.withStateShards(spark, stateShards) {
       import graft.sources.Jdbc
       val url = Jdbc.derbyUrl(dbDir)
-      val cells = spark.readStream.schema(srcSchema).parquet(srcDir)
-        .select(graft.functions.PolyHash64
-          .polyhash64(col("user_id").cast("string")).as("h"))
-        .select(TextOps.cmsCells.as("rc"))
-        .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
-        .agg(count(lit(1)).as("cnt"))
-      val q = cells.writeStream
+      val q = agg.writeStream
         .queryName(queryName)
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .foreachBatch((batch: DataFrame, _: Long) =>
-          Jdbc.upsertBatch(batch, url, table, Seq("rw", "cl")))
+          Jdbc.upsertBatch(batch, url, table, keys))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()

@@ -119,4 +119,37 @@ class CmsSpec extends SparkSpec {
       batch.except(jdbc).count() == 0,
       "restarted JDBC CMS table must equal the batch sketch bit-for-bit")
   }
+
+  it("the z25 histogram rides the same terminal: restart-converged " +
+      "JDBC table equals the batch histogram (monotone bins, keyed " +
+      "upsert on (event_type, bin))") {
+    import graft.streaming.EventStream
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quant-rst")
+    val srcDir = tmp.resolve("src").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val dbDir = tmp.resolve("db").toString
+    val events = EventStream.readEvents(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val cut = events.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0)(0)
+    events.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def run() = graft.operators.ExtensionOps.runQuantToJdbc(spark, srcDir,
+      events.schema, ckpt, dbDir, table = "t_quant_rst",
+      queryName = "t_quant_rst_q")
+    run()
+    events.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val jdbc = run() // fresh query, same checkpoint + table = restart
+    val batch = events
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / ExtensionOps.QWidth), lit(0.0)),
+          lit((ExtensionOps.QBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    assert(jdbc.count() == batch.count())
+    assert(jdbc.except(batch).count() == 0 &&
+      batch.except(jdbc).count() == 0,
+      "restarted JDBC histogram must equal the batch histogram")
+  }
 }
