@@ -129,16 +129,10 @@ object ExtensionOps {
       srcDir: String, srcSchema: org.apache.spark.sql.types.StructType,
       ckpt: String, dbDir: String, table: String = "cms_jdbc",
       queryName: String = "event_cms_jdbc",
-      stateShards: Int = EventStream.DefaultStateShards): DataFrame = {
-    val cells = spark.readStream.schema(srcSchema).parquet(srcDir)
-      .select(graft.functions.PolyHash64
-        .polyhash64(col("user_id").cast("string")).as("h"))
-      .select(TextOps.cmsCells.as("rc"))
-      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
-      .agg(count(lit(1)).as("cnt"))
-    runSketchToJdbc(spark, cells, Seq("rw", "cl"), ckpt, dbDir, table,
-      queryName, stateShards)
-  }
+      stateShards: Int = EventStream.DefaultStateShards): DataFrame =
+    runSketchToJdbc(spark,
+      cmsCellCounts(spark.readStream.schema(srcSchema).parquet(srcDir)),
+      Seq("rw", "cl"), ckpt, dbDir, table, queryName, stateShards)
 
   /** z25's histogram through the same terminal: cells keyed on
     * (event_type, bin), identical convergence argument. */
@@ -146,15 +140,10 @@ object ExtensionOps {
       srcDir: String, srcSchema: org.apache.spark.sql.types.StructType,
       ckpt: String, dbDir: String, table: String = "quant_jdbc",
       queryName: String = "event_quant_jdbc",
-      stateShards: Int = EventStream.DefaultStateShards): DataFrame = {
-    val bins = spark.readStream.schema(srcSchema).parquet(srcDir)
-      .select(col("event_type"),
-        least(greatest(floor(col("value") / QWidth), lit(0.0)),
-          lit((QBins - 1).toDouble)).cast("long").as("bin"))
-      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
-    runSketchToJdbc(spark, bins, Seq("event_type", "bin"), ckpt, dbDir,
-      table, queryName, stateShards)
-  }
+      stateShards: Int = EventStream.DefaultStateShards): DataFrame =
+    runSketchToJdbc(spark,
+      quantBinCounts(spark.readStream.schema(srcSchema).parquet(srcDir)),
+      Seq("event_type", "bin"), ckpt, dbDir, table, queryName, stateShards)
 
   /** The shared terminal: run a monotone streaming cell aggregation to
     * completion through update-mode `foreachBatch` upserting into a
@@ -193,6 +182,31 @@ object ExtensionOps {
     * briefly baked `/ 0.0`). */
   private[graft] val QWidth = 0.25
   private[graft] val QBins = 4096
+
+  /** The z24 CMS cell-count aggregation over an events frame (batch OR
+    * streaming — both are one declarative groupBy) — shared by the
+    * QueryDef, the JDBC terminal, and the specs so the hash/cell
+    * geometry can never fork between the oracled query and the
+    * production sink (review r15: it briefly lived in three copies —
+    * the same divergence class as the baked oracle literals). */
+  private[graft] def cmsCellCounts(
+      events: org.apache.spark.sql.Dataset[_]): DataFrame =
+    events
+      .select(graft.functions.PolyHash64
+        .polyhash64(col("user_id").cast("string")).as("h"))
+      .select(TextOps.cmsCells.as("rc"))
+      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The z25 clamped-bin histogram aggregation — same sharing contract
+    * as [[cmsCellCounts]]. */
+  private[graft] def quantBinCounts(
+      events: org.apache.spark.sql.Dataset[_]): DataFrame =
+    events
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / QWidth), lit(0.0)),
+          lit((QBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -874,13 +888,7 @@ object ExtensionOps {
     QueryDef(
       "z24_stream_cms",
       (s, d) => {
-        val cells = TextOps.cmsCells
-        val regs = EventStream.eventsStream(s, d)
-          .select(graft.functions.PolyHash64
-            .polyhash64(col("user_id").cast("string")).as("h"))
-          .select(cells.as("rc"))
-          .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
-          .agg(count(lit(1)).as("cnt"))
+        val regs = cmsCellCounts(EventStream.eventsStream(s, d))
         val emitted = EventStream.runUpdateAggOnce(s, regs,
           queryName = s"graft_cms_${graft.etl.ScaleUtils.pathTag(d)}")
         val sketch = emitted.groupBy("rw", "cl").agg(max("cnt").as("cnt"))
@@ -940,11 +948,7 @@ object ExtensionOps {
     QueryDef(
       "z25_stream_quantiles",
       (s, d) => {
-        val bin = least(greatest(floor(col("value") / QWidth), lit(0.0)),
-          lit((QBins - 1).toDouble)).cast("long").as("bin")
-        val regs = EventStream.eventsStream(s, d)
-          .select(col("event_type"), bin)
-          .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        val regs = quantBinCounts(EventStream.eventsStream(s, d))
         val emitted = EventStream.runUpdateAggOnce(s, regs,
           queryName = s"graft_quant_${graft.etl.ScaleUtils.pathTag(d)}")
         val sketch = emitted.groupBy("event_type", "bin")

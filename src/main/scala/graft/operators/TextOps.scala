@@ -82,19 +82,61 @@ object TextOps {
     * or carries the frame per [[CheckpointIntervalKey]]. One instance
     * per loop — the counter is the loop's round clock. Anchor frames
     * built BEFORE a loop (edge lists, degree tables — read by every
-    * round) always cut via [[truncate]] directly. */
+    * round) always cut via [[truncate]] directly.
+    *
+    * With `cacheCarried`, carried frames are PERSISTED (not
+    * checkpointed): without the cache, a loop that runs an action per
+    * round (CC's convergence count) would recompute the whole carried
+    * chain back to the last durable cut every round — O(N²/2)
+    * redundant round-computations per window (review r15). persist()
+    * keeps the lineage intact, so the executor-loss contract is
+    * unchanged: lost blocks recompute ≤ N−1 rounds from the last
+    * durable frame. Each durable cut re-roots the lineage and releases
+    * the window's carried blocks; the loop calls [[release]] before
+    * returning so nothing outlives the call (the returned frame may
+    * then recompute once from the last cut — the same bounded
+    * contract). A loop with NO per-round action (pageRank: one final
+    * collect) passes `cacheCarried = false` — its carried rounds fuse
+    * into the consuming job exactly once, and a persist there would be
+    * pure write overhead. */
   private[graft] final class RoundTruncate(
-      spark: org.apache.spark.sql.SparkSession) {
+      spark: org.apache.spark.sql.SparkSession,
+      cacheCarried: Boolean = true) {
     private val reliable =
       confOpt(spark, ReliableCheckpointKey).exists(_.nonEmpty)
     private[operators] val interval =
       if (!reliable) 1
-      else math.min(8, math.max(1,
-        confOpt(spark, CheckpointIntervalKey).map(_.trim.toInt).getOrElse(1)))
+      else confOpt(spark, CheckpointIntervalKey) match {
+        case None => 1
+        case Some(s) =>
+          val n = try s.trim.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$CheckpointIntervalKey must be an integer, got '$s'")
+          }
+          math.min(8, math.max(1, n))
+      }
     private var calls = 0
+    private var carried: List[DataFrame] = Nil
     def apply(df: DataFrame): DataFrame = {
       calls += 1
-      if (calls % interval != 0) df else truncate(df)
+      if (calls % interval != 0) {
+        if (!cacheCarried) df
+        else {
+          val c = df.persist(StorageLevel.MEMORY_AND_DISK)
+          carried ::= c
+          c
+        }
+      } else {
+        val cut = truncate(df)
+        release()
+        cut
+      }
+    }
+    /** Unpersist every carried frame of the open window. */
+    def release(): Unit = {
+      carried.foreach(_.unpersist(blocking = false))
+      carried = Nil
     }
   }
 
@@ -984,6 +1026,10 @@ object TextOps {
       rounds += 1
     }
     lastCcRounds = rounds
+    // drop any open window's carried blocks; the returned lazy frame
+    // recomputes ≤ interval−1 rounds from the last durable cut when
+    // first consumed — the same bounded contract as executor loss
+    rt.release()
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
   }
 
@@ -2316,7 +2362,9 @@ object TextOps {
     val deg = truncate(bi.groupBy("u").agg(count(lit(1)).as("d")))
     val n = deg.count()
     var pr = truncate(deg.select(col("u"), round(lit(1.0) / n, 6).as("r")))
-    val rt = new RoundTruncate(edges.sparkSession)
+    // no per-round action here: carried rounds fuse into the final
+    // consuming job, so skip the carried-frame cache (see RoundTruncate)
+    val rt = new RoundTruncate(edges.sparkSession, cacheCarried = false)
     for (_ <- 1 to iters) {
       pr = rt(bi.join(pr, Seq("u")).join(deg, Seq("u"))
         .groupBy(col("v"))
@@ -2324,6 +2372,7 @@ object TextOps {
           lit(damping) * sum(col("r") / col("d")), 6).as("r"))
         .select(col("v").as("u"), col("r")))
     }
+    rt.release() // see connectedComponents — bounded recompute contract
     pr.select(col("u").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
   }
 }

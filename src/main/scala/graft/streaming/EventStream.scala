@@ -476,7 +476,7 @@ object EventStream {
             else if (bounded && st.closed)
               armAt((st.t1 + winUs + horizonUs) / 1000)
             else if (bounded && st.t1 < 0)
-              armAt(st.maxUs / 1000 + horizonUs / 1000)
+              armAt((st.maxUs + horizonUs) / 1000)
             FunnelUser(uid, stepOpt(st.t1), stepOpt(st.t2), stepOpt(st.t3))
           }
       }
@@ -608,9 +608,16 @@ object EventStream {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     val bounded = horizonUs != Long.MaxValue
+    // the timeout CONF follows the mode: EventTimeTimeout requires a
+    // watermark at query-analysis time even if no timeout is ever
+    // armed, so unbounded mode keeps NoTimeout — a caller without a
+    // watermark keeps working exactly as pre-r15 (review r15)
+    val timeoutConf =
+      if (bounded) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RetentionState, RetentionHit](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (uid, evs, state: GroupState[RetentionState]) =>
           if (state.hasTimedOut) {
             // watermark passed the inert point + horizon: drop (bounded

@@ -99,6 +99,19 @@ class CheckpointModeSpec extends SparkSpec {
     assert(w3 > 0)
   }
 
+  it("a malformed checkpoint interval fails loudly, naming the key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-bad")
+    spark.conf.set(TextOps.CheckpointIntervalKey, "2s")
+    val e = try intercept[IllegalArgumentException] {
+      withReliable(dir.toString) {
+        TextOps.pageRank(edges, iters = 2, damping = 0.85).collect()
+      }
+    } finally spark.conf.unset(TextOps.CheckpointIntervalKey)
+    assert(e.getMessage.contains(TextOps.CheckpointIntervalKey) &&
+      e.getMessage.contains("2s"),
+      s"error must name the bad conf: ${e.getMessage}")
+  }
+
   it("rounds share one checkpoint root: setCheckpointDir is not " +
       "re-derived per truncate call") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-one")

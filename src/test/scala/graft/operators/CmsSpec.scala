@@ -106,13 +106,9 @@ class CmsSpec extends SparkSpec {
     events.filter(unix_micros(col("ts")) > cut).coalesce(1)
       .write.mode("append").parquet(srcDir)
     val jdbc = run() // run 2: fresh query, same checkpoint = restart
-    // batch single-pass sketch over the FULL corpus, same hash family
-    val batch = events
-      .select(graft.functions.PolyHash64
-        .polyhash64(col("user_id").cast("string")).as("h"))
-      .select(TextOps.cmsCells.as("rc"))
-      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
-      .agg(count(lit(1)).as("cnt"))
+    // batch single-pass sketch over the FULL corpus — the SAME shared
+    // builder the stream uses, so the twins cannot diverge by copy
+    val batch = graft.operators.ExtensionOps.cmsCellCounts(events)
     assert(jdbc.count() == batch.count(),
       s"cell population diverged: ${jdbc.count()} vs ${batch.count()}")
     assert(jdbc.except(batch).count() == 0 &&
@@ -142,11 +138,7 @@ class CmsSpec extends SparkSpec {
     events.filter(unix_micros(col("ts")) > cut).coalesce(1)
       .write.mode("append").parquet(srcDir)
     val jdbc = run() // fresh query, same checkpoint + table = restart
-    val batch = events
-      .select(col("event_type"),
-        least(greatest(floor(col("value") / ExtensionOps.QWidth), lit(0.0)),
-          lit((ExtensionOps.QBins - 1).toDouble)).cast("long").as("bin"))
-      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    val batch = ExtensionOps.quantBinCounts(events)
     assert(jdbc.count() == batch.count())
     assert(jdbc.except(batch).count() == 0 &&
       batch.except(jdbc).count() == 0,

@@ -126,12 +126,8 @@ class StreamOrderSpec extends SparkSpec {
   it("z24's count sketch is bit-identical under out-of-order " +
       "multi-batch delivery (counting is order-free)") {
     import org.apache.spark.sql.streaming.Trigger
-    val cellsStream = shuffledStream
-      .select(graft.functions.PolyHash64
-        .polyhash64(col("user_id").cast("string")).as("h"))
-      .select(TextOps.cmsCells.as("rc"))
-      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
-      .agg(count(lit(1)).as("cnt"))
+    // shared builder — the one geometry the QueryDef/terminal/specs use
+    val cellsStream = ExtensionOps.cmsCellCounts(shuffledStream)
     val q = cellsStream.writeStream.format("memory")
       .queryName("t_order_cms").outputMode("update")
       .trigger(Trigger.AvailableNow()).start()
@@ -141,12 +137,7 @@ class StreamOrderSpec extends SparkSpec {
     // is the final count — the same fold z24 itself uses
     val streamed = spark.table("t_order_cms")
       .groupBy("rw", "cl").agg(max("cnt").as("cnt"))
-    val batch = EventStream.readEvents(spark, sf)
-      .select(graft.functions.PolyHash64
-        .polyhash64(col("user_id").cast("string")).as("h"))
-      .select(TextOps.cmsCells.as("rc"))
-      .groupBy(col("rc.rw").as("rw"), col("rc.cl").as("cl"))
-      .agg(count(lit(1)).as("cnt"))
+    val batch = ExtensionOps.cmsCellCounts(EventStream.readEvents(spark, sf))
     assert(streamed.count() > 0)
     assert(streamed.except(batch).count() == 0 &&
       batch.except(streamed).count() == 0,
@@ -157,11 +148,8 @@ class StreamOrderSpec extends SparkSpec {
       "multi-batch delivery, and the bin clamp bounds state for ANY " +
       "value range") {
     import org.apache.spark.sql.streaming.Trigger
-    val binsOf = (df: org.apache.spark.sql.Dataset[_]) => df
-      .select(col("event_type"),
-        least(greatest(floor(col("value") / ExtensionOps.QWidth), lit(0.0)),
-          lit((ExtensionOps.QBins - 1).toDouble)).cast("long").as("bin"))
-      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    // the SAME shared builder the z25 QueryDef and JDBC terminal use
+    val binsOf = ExtensionOps.quantBinCounts _
     // the shuffled fixture drops the value column — rebuild it from the
     // corpus directly with a one-file-per-batch shuffled layout
     val path = s"$shuffledValueRoot/events.parquet"
