@@ -144,6 +144,9 @@ object Bench {
     // per-shard register fixture (the exact CONTROL arm still scans)
     "x35_cms_freq", // r14: merges the per-shard CMS fixture and ranks
     // the control top-10 from the shared gram-count fixture
+    "x36_hist_quantiles", // r15: merges the per-shard token-count
+    // histogram fixture (the quantile member of the fixture trio);
+    // the exact control arm still scans
     "x31_vocab_coverage", // r12: pure gram-count-fixture consumer
     "y4_lsh_ann", "y5_ivf_ann", "y6_pq_ann", "y7_ivfpq_ann",
     "y8_semdedup", // r12: persisted cluster-assignment frame + fitted

@@ -713,6 +713,35 @@ object TextOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
+  private val histSketchCache = new graft.etl.DfCache
+
+  /** x36 histogram geometry: integer-width bins (bin = token count)
+    * clamped at HistBins−1, so the fixture is bounded for any corpus
+    * and the in-range estimate IS the exact order statistic. Declared
+    * as a val above `defs` would also work — it sits here with its
+    * cache for locality; the oracle interpolates it (never baked). */
+  private[operators] val HistBins = 4096L
+
+  /** Per-dataset persisted PER-SHARD token-count histogram
+    * `(source, shard, bin, cnt)` — the QUANTILE member of the pay-once
+    * mergeable fixture trio (x34 HLL registers / x35 CMS counters /
+    * x36 histogram): each ingest shard folds its documents into
+    * ≤ sources × HistBins counters map-side, the tiny frames persist,
+    * and length-quantile queries merge them by `sum(cnt)` without
+    * touching the corpus. Same merge algebra as the CMS fixture —
+    * shard-order-free but NOT replay-tolerant (CmsSpec-class
+    * contract): histogram ingestion must be exactly-once. */
+  def cachedHistSketch(spark: SparkSession, d: String): DataFrame =
+    histSketchCache.getOrElseUpdate(d, {
+      T.documents(spark, d)
+        .select(col("source"),
+          pmod(col("doc_id"), lit(HllShards.toLong)).as("shard"),
+          least(size(tokens(col("text"))).cast("long"),
+            lit(HistBins - 1)).as("bin"))
+        .groupBy("source", "shard", "bin").agg(count(lit(1)).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   private val verifiedPairsCache = new graft.etl.DfCache
 
   /** Per-(dataset, band-geometry, threshold) persisted verified near-dup
@@ -2341,7 +2370,94 @@ object TextOps {
            |        FROM probes JOIN sketch USING (rw, cl)
            |        GROUP BY 1, 2)
            |SELECT gram, n_exact, n_cms, n_cms - n_exact AS overest
-           |FROM cms ORDER BY n_exact DESC, gram""".stripMargin))
+           |FROM cms ORDER BY n_exact DESC, gram""".stripMargin)),
+
+    // Histogram quantile fixture query (x36): per-source document
+    // length (token count) percentiles answered from the pay-once
+    // per-shard histogram (cachedHistSketch) merged by sum(cnt) — the
+    // QUANTILE member of the mergeable fixture trio (x34 registers /
+    // x35 counters / x36 histogram), and the batch twin of the z25
+    // streaming sketch. At 100 TB the corpus is never re-scanned:
+    // shard histograms merge (sum is associative/commutative — shard
+    // order free; NOT idempotent — exactly-once ingestion, the
+    // CmsSpec-pinned contrast), and the quantile finish reads
+    // ≤ sources × HistBins rows. Integer-width bins clamped at
+    // HistBins−1 make the in-range estimate THE exact order statistic
+    // — the err columns pin that at 0 on this corpus, and a corpus
+    // with documents past the clamp would surface in them loudly.
+    // Differs from x28 by DESIGN, not just geometry: x28 builds a GK
+    // sketch per query over the corpus; x36 answers from the
+    // persisted mergeable fixture. Fully oracled — integer arithmetic
+    // end to end.
+    QueryDef(
+      "x36_hist_quantiles",
+      (s, d) => {
+        val merged = cachedHistSketch(s, d)
+          .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
+        val wCum = Window.partitionBy("source").orderBy("bin")
+        val wAll = Window.partitionBy("source")
+        val cum = merged
+          .withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(wAll))
+        def pick(p: Double) =
+          min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin")))
+        val est = cum.groupBy("source").agg(
+          max("n").as("n_docs"),
+          pick(0.5).as("p50_nt"), pick(0.9).as("p90_nt"))
+        val wRk = Window.partitionBy("source").orderBy("nt")
+        val ranked = T.documents(s, d)
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+          .withColumn("rk", row_number().over(wRk))
+          .withColumn("nn", count(lit(1)).over(wAll))
+        def exactAt(p: Double) = max(when(col("rk") ===
+          greatest(lit(1L), ceil(lit(p) * col("nn"))), col("nt")))
+        val exact = ranked.groupBy("source").agg(
+          exactAt(0.5).as("x50"), exactAt(0.9).as("x90"))
+        est.join(exact, Seq("source"))
+          .select(col("source"), col("n_docs"),
+            col("p50_nt"), col("x50").as("p50_exact"),
+            (col("p50_nt") - col("x50")).as("p50_err"),
+            col("p90_nt"), col("x90").as("p90_exact"),
+            (col("p90_nt") - col("x90")).as("p90_err"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH nt AS (SELECT source,
+           |         len(string_split_regex(trim(text), '\\s+')) AS nt,
+           |         least(len(string_split_regex(trim(text), '\\s+')),
+           |           ${HistBins - 1}) AS bin
+           |       FROM documents),
+           |c AS (SELECT source, bin, count(*) AS cnt
+           |      FROM nt GROUP BY 1, 2),
+           |cc AS (SELECT source, bin, cnt,
+           |         sum(cnt) OVER (PARTITION BY source ORDER BY bin)
+           |           AS cum,
+           |         sum(cnt) OVER (PARTITION BY source) AS n
+           |       FROM c),
+           |est AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           |          min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END)
+           |            AS p50_nt,
+           |          min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END)
+           |            AS p90_nt
+           |        FROM cc GROUP BY 1),
+           |r AS (SELECT source, nt,
+           |        row_number() OVER (PARTITION BY source ORDER BY nt)
+           |          AS rk,
+           |        count(*) OVER (PARTITION BY source) AS nn
+           |      FROM nt),
+           |ex AS (SELECT source,
+           |         max(CASE WHEN rk = greatest(1,
+           |           CAST(ceil(0.5 * nn) AS BIGINT)) THEN nt END)
+           |           AS x50,
+           |         max(CASE WHEN rk = greatest(1,
+           |           CAST(ceil(0.9 * nn) AS BIGINT)) THEN nt END)
+           |           AS x90
+           |       FROM r GROUP BY 1)
+           |SELECT source, n_docs, p50_nt, x50 AS p50_exact,
+           |       p50_nt - x50 AS p50_err,
+           |       p90_nt, x90 AS p90_exact, p90_nt - x90 AS p90_err
+           |FROM est JOIN ex USING (source)
+           |ORDER BY source""".stripMargin))
   )
 
   /** Distributed PageRank over an undirected edge list: per iteration,

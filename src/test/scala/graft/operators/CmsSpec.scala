@@ -73,6 +73,38 @@ class CmsSpec extends SparkSpec {
       "a replayed shard must change the sketch (exactly-once contract)")
   }
 
+  it("x36's shard-merged histogram equals the global single-pass " +
+      "histogram, a replayed shard double-counts, and the in-range " +
+      "estimate IS the exact order statistic") {
+    val sharded = TextOps.cachedHistSketch(spark, sf)
+    assert(sharded.select("shard").distinct().count() > 1)
+    val merged = sharded.groupBy("source", "bin")
+      .agg(sum("cnt").as("cnt"))
+    // independent global pass, no shard split
+    val global = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        least(size(split(trim(col("text")), "\\s+")).cast("long"),
+          lit(TextOps.HistBins - 1)).as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+    assert(merged.count() > 0)
+    assert(merged.except(global).count() == 0 &&
+      global.except(merged).count() == 0,
+      "shard-merged histogram must equal the global single-pass one")
+    // sum-family merge: replaying a shard inflates exactly its bins
+    val replayed = sharded.unionAll(sharded.filter(col("shard") === 0))
+      .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
+    assert(replayed.except(merged).count() > 0,
+      "a replayed shard must change the histogram (exactly-once contract)")
+    // integer-width bins below the clamp: estimate == exact, err == 0
+    val rows = graft.SparkEntry.queries("x36_hist_quantiles")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == 0L && r.getLong(7) == 0L,
+        s"in-range histogram quantiles must be exact: $r")
+    }
+  }
+
   it("recovers the streaming CMS across a checkpoint restart through " +
       "the production foreachBatch JDBC terminal and reproduces the " +
       "batch sketch bit-for-bit (monotone cell counts + keyed upsert " +
