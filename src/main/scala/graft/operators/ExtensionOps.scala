@@ -953,27 +953,15 @@ object ExtensionOps {
           queryName = s"graft_quant_${graft.etl.ScaleUtils.pathTag(d)}")
         val sketch = emitted.groupBy("event_type", "bin")
           .agg(max("cnt").as("cnt"))
-        val wCum = Window.partitionBy("event_type").orderBy("bin")
-        val wAll = Window.partitionBy("event_type")
-        val cum = sketch
-          .withColumn("cum", sum("cnt").over(wCum))
-          .withColumn("n", sum("cnt").over(wAll))
-        def estBin(p: Double) =
-          min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin")))
-        val est = cum.groupBy("event_type").agg(
-          max("n").as("n"),
-          estBin(0.5).as("b50"), estBin(0.9).as("b90"),
-          estBin(0.99).as("b99"))
-        val wRk = Window.partitionBy("event_type").orderBy("value")
-        val ranked = EventStream.readEvents(s, d)
-          .select(col("event_type"), col("value"))
-          .withColumn("rk", row_number().over(wRk))
-          .withColumn("nn", count(lit(1)).over(wAll))
-        def exactAt(p: Double) = max(when(col("rk") ===
-          greatest(lit(1L), ceil(lit(p) * col("nn"))), col("value")))
-        val exact = ranked.groupBy("event_type").agg(
-          exactAt(0.5).as("x50"), exactAt(0.9).as("x90"),
-          exactAt(0.99).as("x99"))
+        // finish + control via the SHARED quantile skeleton (TextOps
+        // histQuantileBins/exactOrderStats — one code path with x36,
+        // the batch twin, so the two faces can never drift)
+        val ps = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+        val est = TextOps.histQuantileBins(sketch, "event_type", ps)
+        val exact = TextOps.exactOrderStats(
+          EventStream.readEvents(s, d)
+            .select(col("event_type"), col("value").as("v")),
+          "event_type", ps)
         def cols(b: String, x: String, tag: String) = Seq(
           round(col(b) * QWidth, 2).as(s"p${tag}_est"),
           col(x).as(s"p${tag}_exact"),
@@ -985,41 +973,13 @@ object ExtensionOps {
           .orderBy("event_type")
       },
       Some(
-        s"""WITH b AS (SELECT event_type,
+        s"""WITH hb AS (SELECT event_type,
            |         CAST(least(greatest(floor(value / $QWidth), 0),
            |           ${QBins - 1}) AS BIGINT) AS bin
            |       FROM events),
-           |sk AS (SELECT event_type, bin, count(*) AS cnt
-           |       FROM b GROUP BY 1, 2),
-           |c AS (SELECT event_type, bin, cnt,
-           |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
-           |          AS cum,
-           |        sum(cnt) OVER (PARTITION BY event_type) AS n
-           |      FROM sk),
-           |est AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-           |          min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END)
-           |            AS b50,
-           |          min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END)
-           |            AS b90,
-           |          min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END)
-           |            AS b99
-           |        FROM c GROUP BY 1),
-           |r AS (SELECT event_type, value,
-           |        row_number() OVER (PARTITION BY event_type
-           |          ORDER BY value) AS rk,
-           |        count(*) OVER (PARTITION BY event_type) AS nn
-           |      FROM events),
-           |ex AS (SELECT event_type,
-           |         max(CASE WHEN rk = greatest(1,
-           |           CAST(ceil(0.5 * nn) AS BIGINT)) THEN value END)
-           |           AS x50,
-           |         max(CASE WHEN rk = greatest(1,
-           |           CAST(ceil(0.9 * nn) AS BIGINT)) THEN value END)
-           |           AS x90,
-           |         max(CASE WHEN rk = greatest(1,
-           |           CAST(ceil(0.99 * nn) AS BIGINT)) THEN value END)
-           |           AS x99
-           |       FROM r GROUP BY 1)
+           |hv AS (SELECT event_type, value AS v FROM events),
+           |${TextOps.histQuantileOracleCtes("event_type",
+                Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99))}
            |SELECT event_type, n,
            |       round(b50 * $QWidth, 2) AS p50_est, x50 AS p50_exact,
            |       round(x50 - b50 * $QWidth, 4) AS p50_err,

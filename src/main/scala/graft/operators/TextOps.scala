@@ -715,6 +715,74 @@ object TextOps {
 
   private val histSketchCache = new graft.etl.DfCache
 
+  /** Histogram-quantile finish shared by x36 and z25 (the trio's
+    * quantile twins — ONE skeleton so the batch and streaming faces
+    * can never drift, the same contract as [[hllEstimate]] /
+    * [[cmsCells]]): cumulative-count windows over a merged histogram
+    * `(key, bin, cnt)` and the smallest-bin pick per requested
+    * percentile. Returns `(key, n, b<label>…)`. */
+  private[graft] def histQuantileBins(sketch: DataFrame, key: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val wCum = Window.partitionBy(key).orderBy("bin")
+    val wAll = Window.partitionBy(key)
+    val cum = sketch
+      .withColumn("cum", Fn.sum("cnt").over(wCum))
+      .withColumn("n", Fn.sum("cnt").over(wAll))
+    val picks = ps.map { case (lbl, p) =>
+      Fn.min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin")))
+        .as(s"b$lbl")
+    }
+    cum.groupBy(key).agg(Fn.max("n").as("n"), picks: _*)
+  }
+
+  /** The exact order-statistic CONTROL arm of the quantile twins (the
+    * part a 100 TB run drops): the ceil(p·n)-th value per key over an
+    * input `(key, v)`. Returns `(key, x<label>…)`. */
+  private[graft] def exactOrderStats(df: DataFrame, key: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val wRk = Window.partitionBy(key).orderBy("v")
+    val wAll = Window.partitionBy(key)
+    val ranked = df
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("nn", Fn.count(lit(1)).over(wAll))
+    val picks = ps.map { case (lbl, p) =>
+      Fn.max(when(col("rk") ===
+        greatest(lit(1L), ceil(lit(p) * col("nn"))), col("v"))).as(s"x$lbl")
+    }
+    ranked.groupBy(key).agg(picks.head, picks.tail: _*)
+  }
+
+  /** DuckDB mirror of [[histQuantileBins]] + [[exactOrderStats]] over
+    * CTEs `hb(key, bin)` (histogram source rows) and `hv(key, v)`
+    * (exact-arm values) — the shared oracle skeleton of x36 and z25.
+    * Emits CTEs `cc`, `est(key, n, b<label>…)` and `ex(key, x<label>…)`;
+    * every percentile literal interpolates from `ps` (never baked). */
+  private[operators] def histQuantileOracleCtes(key: String,
+      ps: Seq[(String, Double)]): String = {
+    val estPicks = ps.map { case (l, p) =>
+      s"          min(CASE WHEN cum >= ceil($p * n) THEN bin END) AS b$l"
+    }.mkString(",\n")
+    val exPicks = ps.map { case (l, p) =>
+      s"         max(CASE WHEN rk = greatest(1,\n" +
+        s"           CAST(ceil($p * nn) AS BIGINT)) THEN v END) AS x$l"
+    }.mkString(",\n")
+    s"""c AS (SELECT $key, bin, count(*) AS cnt FROM hb GROUP BY 1, 2),
+       |cc AS (SELECT $key, bin, cnt,
+       |         sum(cnt) OVER (PARTITION BY $key ORDER BY bin) AS cum,
+       |         sum(cnt) OVER (PARTITION BY $key) AS n
+       |       FROM c),
+       |est AS (SELECT $key, CAST(max(n) AS BIGINT) AS n,
+       |$estPicks
+       |        FROM cc GROUP BY 1),
+       |r AS (SELECT $key, v,
+       |        row_number() OVER (PARTITION BY $key ORDER BY v) AS rk,
+       |        count(*) OVER (PARTITION BY $key) AS nn
+       |      FROM hv),
+       |ex AS (SELECT $key,
+       |$exPicks
+       |       FROM r GROUP BY 1)""".stripMargin
+  }
+
   /** x36 histogram geometry: integer-width bins (bin = token count)
     * clamped at HistBins−1, so the fixture is bounded for any corpus
     * and the in-range estimate IS the exact order statistic. Declared
@@ -2394,68 +2462,32 @@ object TextOps {
       (s, d) => {
         val merged = cachedHistSketch(s, d)
           .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
-        val wCum = Window.partitionBy("source").orderBy("bin")
-        val wAll = Window.partitionBy("source")
-        val cum = merged
-          .withColumn("cum", sum("cnt").over(wCum))
-          .withColumn("n", sum("cnt").over(wAll))
-        def pick(p: Double) =
-          min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin")))
-        val est = cum.groupBy("source").agg(
-          max("n").as("n_docs"),
-          pick(0.5).as("p50_nt"), pick(0.9).as("p90_nt"))
-        val wRk = Window.partitionBy("source").orderBy("nt")
-        val ranked = T.documents(s, d)
-          .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
-          .withColumn("rk", row_number().over(wRk))
-          .withColumn("nn", count(lit(1)).over(wAll))
-        def exactAt(p: Double) = max(when(col("rk") ===
-          greatest(lit(1L), ceil(lit(p) * col("nn"))), col("nt")))
-        val exact = ranked.groupBy("source").agg(
-          exactAt(0.5).as("x50"), exactAt(0.9).as("x90"))
+        val ps = Seq("50" -> 0.5, "90" -> 0.9)
+        val est = histQuantileBins(merged, "source", ps)
+        val exact = exactOrderStats(
+          T.documents(s, d).select(col("source"),
+            size(tokens(col("text"))).cast("long").as("v")),
+          "source", ps)
         est.join(exact, Seq("source"))
-          .select(col("source"), col("n_docs"),
-            col("p50_nt"), col("x50").as("p50_exact"),
-            (col("p50_nt") - col("x50")).as("p50_err"),
-            col("p90_nt"), col("x90").as("p90_exact"),
-            (col("p90_nt") - col("x90")).as("p90_err"))
+          .select(col("source"), col("n").as("n_docs"),
+            col("b50").as("p50_nt"), col("x50").as("p50_exact"),
+            (col("b50") - col("x50")).as("p50_err"),
+            col("b90").as("p90_nt"), col("x90").as("p90_exact"),
+            (col("b90") - col("x90")).as("p90_err"))
           .orderBy("source")
       },
       Some(
-        s"""WITH nt AS (SELECT source,
-           |         len(string_split_regex(trim(text), '\\s+')) AS nt,
+        s"""WITH hb AS (SELECT source,
            |         least(len(string_split_regex(trim(text), '\\s+')),
            |           ${HistBins - 1}) AS bin
            |       FROM documents),
-           |c AS (SELECT source, bin, count(*) AS cnt
-           |      FROM nt GROUP BY 1, 2),
-           |cc AS (SELECT source, bin, cnt,
-           |         sum(cnt) OVER (PARTITION BY source ORDER BY bin)
-           |           AS cum,
-           |         sum(cnt) OVER (PARTITION BY source) AS n
-           |       FROM c),
-           |est AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
-           |          min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END)
-           |            AS p50_nt,
-           |          min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END)
-           |            AS p90_nt
-           |        FROM cc GROUP BY 1),
-           |r AS (SELECT source, nt,
-           |        row_number() OVER (PARTITION BY source ORDER BY nt)
-           |          AS rk,
-           |        count(*) OVER (PARTITION BY source) AS nn
-           |      FROM nt),
-           |ex AS (SELECT source,
-           |         max(CASE WHEN rk = greatest(1,
-           |           CAST(ceil(0.5 * nn) AS BIGINT)) THEN nt END)
-           |           AS x50,
-           |         max(CASE WHEN rk = greatest(1,
-           |           CAST(ceil(0.9 * nn) AS BIGINT)) THEN nt END)
-           |           AS x90
-           |       FROM r GROUP BY 1)
-           |SELECT source, n_docs, p50_nt, x50 AS p50_exact,
-           |       p50_nt - x50 AS p50_err,
-           |       p90_nt, x90 AS p90_exact, p90_nt - x90 AS p90_err
+           |hv AS (SELECT source,
+           |         len(string_split_regex(trim(text), '\\s+')) AS v
+           |       FROM documents),
+           |${histQuantileOracleCtes("source", Seq("50" -> 0.5, "90" -> 0.9))}
+           |SELECT source, n AS n_docs, b50 AS p50_nt, x50 AS p50_exact,
+           |       b50 - x50 AS p50_err,
+           |       b90 AS p90_nt, x90 AS p90_exact, b90 - x90 AS p90_err
            |FROM est JOIN ex USING (source)
            |ORDER BY source""".stripMargin))
   )

@@ -67,7 +67,11 @@ class CmsSpec extends SparkSpec {
       "shard-merged CMS must equal the global single-pass sketch")
     // replay: duplicating a shard inflates exactly its cells - the
     // merge is provably NOT replay-tolerant, unlike max(rmax)
-    val replayed = sharded.unionAll(sharded.filter(col("shard") === 0))
+    // replay the first shard that actually exists — a hardcoded shard 0
+    // would make this pass vacuously fail if the corpus regenerated
+    // without a doc_id ≡ 0 (mod shards) (review r15)
+    val shard0 = sharded.select(min("shard")).head.getLong(0)
+    val replayed = sharded.unionAll(sharded.filter(col("shard") === shard0))
       .groupBy("rw", "cl").agg(sum("cnt").as("cnt"))
     assert(replayed.except(merged).count() > 0,
       "a replayed shard must change the sketch (exactly-once contract)")
@@ -91,7 +95,11 @@ class CmsSpec extends SparkSpec {
       global.except(merged).count() == 0,
       "shard-merged histogram must equal the global single-pass one")
     // sum-family merge: replaying a shard inflates exactly its bins
-    val replayed = sharded.unionAll(sharded.filter(col("shard") === 0))
+    // replay the first shard that actually exists — a hardcoded shard 0
+    // would make this pass vacuously fail if the corpus regenerated
+    // without a doc_id ≡ 0 (mod shards) (review r15)
+    val shard0 = sharded.select(min("shard")).head.getLong(0)
+    val replayed = sharded.unionAll(sharded.filter(col("shard") === shard0))
       .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
     assert(replayed.except(merged).count() > 0,
       "a replayed shard must change the histogram (exactly-once contract)")
