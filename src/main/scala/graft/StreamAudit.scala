@@ -73,7 +73,8 @@ object StreamAudit {
         "z9_stream_sessions", "z13_stream_join",
         "z15_stream_sessions_all", "z16_stream_session_window",
         "z18_stream_dedup", "z21_stream_funnel", "z22_stream_retention",
-        "z23_stream_hll", "z24_stream_cms", "z25_stream_quantiles")
+        "z23_stream_hll", "z24_stream_cms", "z25_stream_quantiles",
+        "z26_stream_windowed_hll")
     val listener = new Progress
     spark.streams.addListener(listener)
     println("[saudit] query,pass,wall_s,batches,trigger_ms,addBatch_ms," +

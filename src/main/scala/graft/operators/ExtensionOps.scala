@@ -988,6 +988,78 @@ object ExtensionOps {
            |       round(b99 * $QWidth, 2) AS p99_est, x99 AS p99_exact,
            |       round(x99 - b99 * $QWidth, 4) AS p99_err
            |FROM est JOIN ex USING (event_type)
-           |ORDER BY event_type""".stripMargin))
+           |ORDER BY event_type""".stripMargin)),
+
+    // Windowed streaming HLL (z26): distinct users per CLOSED hour
+    // window per event type — the metric where exact streaming
+    // distinct-count state explodes (every user id per open window in
+    // the store) and the register sketch caps it BY DESIGN at
+    // open-windows × types × 256 longs, with the watermark EVICTING
+    // each window's registers the moment it closes. Composition of two
+    // proven pieces, nothing new invented: z8's append-mode window
+    // closure (a window emits exactly once when the watermark — max
+    // event ms − 2 h — passes its end; trailing windows stay open and
+    // unemitted, and the oracle replays exactly that predicate) and
+    // z23's order-robust register aggregation (max is commutative +
+    // idempotent; the estimate arithmetic and oracle CTEs are the
+    // SHARED hllEstimate/hllOracleCtes skeleton, now keyed on
+    // (window, type)). The exact per-window countDistinct control arm
+    // rides along batch-side like z23's — the arm a production run
+    // drops. Output window starts are epoch micros (s_us convention).
+    QueryDef(
+      "z26_stream_windowed_hll",
+      (s, d) => {
+        val regs = TextOps.hllBktRho(
+          EventStream.eventsStream(s, d)
+            .withWatermark("ts", "2 hours")
+            .select(col("ts"), col("event_type"),
+              graft.functions.PolyHash64
+                .polyhash64(col("user_id").cast("string")).as("h")),
+          "ts", "event_type")
+          .groupBy(window(col("ts"), "1 hour").as("w"),
+            col("event_type"), col("bkt"))
+          .agg(max("rho").as("rmax"))
+        val emitted = EventStream.runAppendAggOnce(s, regs,
+          queryName = s"graft_whll_${graft.etl.ScaleUtils.pathTag(d)}")
+        val est = TextOps.hllEstimate(
+          emitted.select(unix_micros(col("w.start")).as("ws"),
+            col("event_type"), col("bkt"), col("rmax")),
+          "ws", "event_type")
+        val ev = EventStream.readEvents(s, d)
+        val wm = ev.agg((expr("unix_micros(max(ts)) div 1000")
+          - lit(7200000L)).as("wm_ms"))
+        val exact = ev
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(countDistinct("user_id").as("n_exact"))
+          .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
+            col("n_exact"))
+          .crossJoin(broadcast(wm))
+          // integer div, mirroring the oracle's `ws // 1000` exactly
+          .filter(expr("ws div 1000") + lit(3600000L) <= col("wm_ms"))
+          .drop("wm_ms")
+        exact.join(est, Seq("ws", "event_type"))
+          .select(col("ws"), col("event_type"), col("n_exact"),
+            col("n_hll"),
+            round((col("n_hll") - col("n_exact")) / col("n_exact") * 100, 2)
+              .as("err_pct"))
+          .orderBy("ws", "event_type")
+      },
+      Some(
+        s"""WITH wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 7200000
+           |             AS wm_ms FROM events),
+           |tok AS (SELECT epoch_ns(date_trunc('hour', ts)) // 1000 AS ws,
+           |         event_type,
+           |         ${TextOps.sqlToSigned(TextOps.polySqlUnsigned(
+                "CAST(user_id AS VARCHAR)"))} AS h
+           |       FROM events),
+           |${TextOps.hllOracleCtes("ws", "event_type")},
+           |ex AS (SELECT epoch_ns(date_trunc('hour', ts)) // 1000 AS ws,
+           |         event_type, count(DISTINCT user_id) AS n_exact
+           |       FROM events GROUP BY 1, 2)
+           |SELECT ws, event_type, n_exact, n_hll,
+           |       round((n_hll - n_exact) / n_exact * 100, 2) AS err_pct
+           |FROM ex JOIN hll USING (ws, event_type), wm
+           |WHERE ws // 1000 + 3600000 <= wm.wm_ms
+           |ORDER BY ws, event_type""".stripMargin))
   )
 }

@@ -551,29 +551,35 @@ object TextOps {
     * (streamed user distinct per event type) so the two sketches can
     * never drift apart. */
   private[operators] def hllEstimate(regs: DataFrame,
-      key: String): DataFrame = {
+      keys: String*): DataFrame = {
     val m = HllM
     val alphaMM = HllAlphaMM
-    regs.groupBy(key)
+    val kc = keys.map(col)
+    regs.groupBy(kc: _*)
       .agg(sum(pow(lit(2.0), -col("rmax"))).as("sp"),
         count(lit(1)).as("nb"))
-      .select(col(key),
-        (col("sp") + (lit(m.toDouble) - col("nb"))).as("sumpow"),
-        (lit(m.toLong) - col("nb")).as("v"))
-      .select(col(key),
+      .select(kc :+
+        (col("sp") + (lit(m.toDouble) - col("nb"))).as("sumpow") :+
+        (lit(m.toLong) - col("nb")).as("v"): _*)
+      .select(kc :+
         round(when(col("v") > 0 &&
           lit(alphaMM) / col("sumpow") <= lit(2.5 * m),
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
-          .otherwise(lit(alphaMM) / col("sumpow")), 4).as("n_hll"))
+          .otherwise(lit(alphaMM) / col("sumpow")), 4).as("n_hll"): _*)
   }
 
   /** DuckDB mirror of the [[hllBktRho]]→registers→[[hllEstimate]]
-    * chain over a CTE `tok(key, h)` of signed polyhashes — the shared
-    * oracle skeleton of x34 and z23. Emits CTEs `regs(key, bkt, rmax)`
-    * and `hll(key, n_hll)`. */
-  private[operators] def hllOracleCtes(key: String): String = {
+    * chain over a CTE `tok(keys…, h)` of signed polyhashes — the
+    * shared oracle skeleton of x34, z23, and z26 (which carries TWO
+    * keys: window start + event type; the GROUP BY lists derive from
+    * the key count). Emits CTEs `regs(keys…, bkt, rmax)` and
+    * `hll(keys…, n_hll)`. */
+  private[operators] def hllOracleCtes(keys: String*): String = {
     val m = HllM
     val rem = HllRemSpace // 2^(64-p)
+    val key = keys.mkString(", ")
+    val gbRegs = (1 to keys.size + 1).mkString(", ")
+    val gbEst = (1 to keys.size).mkString(", ")
     s"""u AS (SELECT $key,
        |        CASE WHEN h < 0
        |          THEN CAST(h AS HUGEINT) + 18446744073709551616
@@ -589,11 +595,11 @@ object TextOps {
        |          END AS rho
        |        FROM r),
        |regs AS (SELECT $key, bkt, max(rho) AS rmax
-       |         FROM rho GROUP BY 1, 2),
+       |         FROM rho GROUP BY $gbRegs),
        |est AS (SELECT $key,
        |          sum(pow(2.0, -rmax)) + ($m.0 - count(*)) AS sumpow,
        |          $m - count(*) AS v
-       |        FROM regs GROUP BY 1),
+       |        FROM regs GROUP BY $gbEst),
        |hll AS (SELECT $key,
        |          round(CASE WHEN v > 0 AND $HllAlphaMM / sumpow <= ${2.5 * m}
        |            THEN $m.0 * ln($m.0 / v)

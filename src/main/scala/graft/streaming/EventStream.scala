@@ -199,6 +199,26 @@ object EventStream {
       spark.table(queryName)
     }
 
+  /** Run an APPEND-mode streaming aggregation to completion
+    * (AvailableNow → memory sink) and return the sink table. Append
+    * mode emits each group exactly once — when the watermark passes
+    * its window — so the caller needs no re-emission fold; groups
+    * still open at the end of the bounded run stay unemitted (the z8
+    * closure semantics). Memory sink is safe here by contract: the
+    * callers' outputs are sketch-sized (closed windows × types × m
+    * register rows), never event volume. */
+  def runAppendAggOnce(spark: SparkSession,
+      df: org.apache.spark.sql.Dataset[_], queryName: String,
+      stateShards: Int = DefaultStateShards): DataFrame =
+    withStateShards(spark, stateShards) {
+      val q = df.writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String)
   final case class SessionState(count: Long, start: Long, last: Long)
