@@ -48,6 +48,25 @@ object ScaleUtils {
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Scale-adaptive partition count for a frame of `rows` rows at
+    * ~`bytesPerRow` bytes each: enough partitions to keep each one near
+    * `targetBytes` (the guide's 100 MB–1 GB shuffle-partition band,
+    * r15 optimization round). Derived from the DATA, not from the local
+    * core count — a tiny frame collapses to 1 partition (per-task
+    * scheduling overhead dominates below ~megabytes) and a 100 TB frame
+    * grows into the thousands, so the same call site is right at both
+    * ends. Used where a materialized frame's physical partitioning is
+    * pinned for many downstream jobs (iterative-loop checkpoints), where
+    * AQE cannot help because the scan side of a checkpoint is not a
+    * shuffle read. */
+  def rowPartitions(rows: Long, bytesPerRow: Long,
+      targetBytes: Long = 128L << 20): Int = {
+    require(bytesPerRow > 0 && targetBytes > 0,
+      s"bytesPerRow=$bytesPerRow targetBytes=$targetBytes")
+    val p = math.ceil(rows.toDouble * bytesPerRow / targetBytes)
+    math.max(1, math.min(1 << 20, p.toLong)).toInt
+  }
+
   /** Exact two-phase salted sum/count aggregation:
     * groupBy(keys, salt) partial → groupBy(keys) merge. Use when one
     * key dominates (AQE skew-join covers joins; this covers groupBy).

@@ -2509,18 +2509,90 @@ object TextOps {
     * never drift the hash compare. [[truncate]] cuts lineage each
     * round (same rationale as [[connectedComponents]]; set
     * [[ReliableCheckpointKey]] for the executor-loss-safe mode). */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+      driverMaxEdges: Long = Long.MaxValue): DataFrame = {
     val e0 = truncate(edges)
-    val bi = truncate(e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(e0.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    // r15 optimization: the same scale-adaptive strategy as
+    // connectedComponents (whose gated union-find fast path the r14
+    // audit sanctioned) — a near-dup edge list is vastly smaller than
+    // the corpus, and under the driver gate a local power iteration
+    // replaces `iters` eager checkpoint rounds of pure job-scheduling
+    // latency (measured at sf0.1: 10 rounds ≈ 2.3 s wall for a
+    // 661-node / 2.4 k-edge graph whose per-round MATH is microseconds;
+    // the driver solve is ~50 ms). Results are identical BY THE QUERY'S
+    // OWN DESIGN: every iteration's rank is rounded to 6 dp (see the
+    // x33 QueryDef note), so a double sum's order-dependent 1e-17 tail
+    // never reaches the 5e-7 rounding boundary — the same argument that
+    // already makes Spark and DuckDB iterate on identical values covers
+    // the driver's summation order too, and the rounding itself uses
+    // the exact BigDecimal(HALF_UP) kernel Spark's round() applies.
+    // Same dual gate as connectedComponents: boxed driver cost (~200 B
+    // per edge incl. adjacency) capped at 1/8 heap, and the collect
+    // kept under spark.driver.maxResultSize. Above the gate the
+    // distributed loop below is the path — same ranks either way
+    // (PageRankPathSpec pins it); specs force the loop with
+    // driverMaxEdges = 0 exactly like the CC specs.
+    val heapGate = Runtime.getRuntime.maxMemory / 8 / 200
+    val maxResultBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        edges.sparkSession.conf.get("spark.driver.maxResultSize", "1g"))
+    val resultGate =
+      if (maxResultBytes <= 0L) Long.MaxValue else maxResultBytes * 3 / 4 / 16
+    val nEdges = e0.count()
+    if (nEdges <= math.min(driverMaxEdges, math.min(heapGate, resultGate))) {
+      import edges.sparkSession.implicits._
+      val pairs = e0.as[(Long, Long)].collect()
+      // bidirectional adjacency — the driver twin of `bi` below
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      def add(u: Long, v: Long): Unit =
+        adj.getOrElseUpdate(u,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+      pairs.foreach { case (a, b) => add(a, b); add(b, a) }
+      val n = adj.size
+      // Spark's round(col, 6) on DoubleType is
+      // BigDecimal(double).setScale(6, HALF_UP).toDouble — apply the
+      // identical kernel so in-range values match bit-for-bit
+      def rnd(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var r = adj.iterator.map { case (u, _) => u -> rnd(1.0 / n) }.toMap
+      for (_ <- 1 to iters) {
+        val acc = scala.collection.mutable.HashMap.empty[Long, Double]
+        adj.foreach { case (u, vs) =>
+          val c = r(u) / vs.size // d(u) = |incident edges|, as below
+          vs.foreach(v => acc.update(v, acc.getOrElse(v, 0.0) + c))
+        }
+        r = acc.iterator.map { case (v, s) =>
+          v -> rnd((1.0 - damping) / n + damping * s)
+        }.toMap
+      }
+      return r.toSeq.toDF("doc_id", "rank").orderBy("doc_id")
+    }
+    val bi = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
     val deg = truncate(bi.groupBy("u").agg(count(lit(1)).as("d")))
     val n = deg.count()
+    // r15 optimization (guide §2.4/§3): the degree of an edge's SOURCE
+    // is loop-invariant, so attach it to the edge list ONCE instead of
+    // re-joining deg inside every round — `iters` joins (each a full
+    // shuffle of both sides at scale) collapse into one. The merged
+    // frame is repartitioned BY THE JOIN KEY at a size-derived width
+    // before the checkpoint pins its physical layout: the checkpoint
+    // scan is not a shuffle read, so AQE can never coalesce it — the
+    // old shape scanned a 2×32-partition union every round (64 tasks
+    // per round of pure scheduling overhead on a kB-sized graph), while
+    // at 100 TB the same rule grows the width with the edge bytes.
+    // Per-round term is unchanged: r_u/d_u summed per target v, rounds
+    // kept on 6 dp so summation order stays absorbed (see QueryDef).
+    val biDeg = truncate(bi.join(deg, Seq("u")).repartition(
+      graft.etl.ScaleUtils.rowPartitions(2L * nEdges, bytesPerRow = 24),
+      col("u")))
     var pr = truncate(deg.select(col("u"), round(lit(1.0) / n, 6).as("r")))
     // no per-round action here: carried rounds fuse into the final
     // consuming job, so skip the carried-frame cache (see RoundTruncate)
     val rt = new RoundTruncate(edges.sparkSession, cacheCarried = false)
     for (_ <- 1 to iters) {
-      pr = rt(bi.join(pr, Seq("u")).join(deg, Seq("u"))
+      pr = rt(biDeg.join(pr, Seq("u"))
         .groupBy(col("v"))
         .agg(round(lit(1.0 - damping) / n +
           lit(damping) * sum(col("r") / col("d")), 6).as("r"))

@@ -52,11 +52,11 @@ class CheckpointModeSpec extends SparkSpec {
   }
 
   it("pageRank: reliable mode matches local mode exactly") {
-    val local = TextOps.pageRank(edges, iters = 5, damping = 0.85)
+    val local = TextOps.pageRank(edges, iters = 5, damping = 0.85, driverMaxEdges = 0)
       .collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-pr")
     val reliable = withReliable(dir.toString) {
-      TextOps.pageRank(edges, iters = 5, damping = 0.85).collect().toSeq
+      TextOps.pageRank(edges, iters = 5, damping = 0.85, driverMaxEdges = 0).collect().toSeq
     }
     assert(reliable == local)
     val wrote = java.nio.file.Files.walk(dir)
@@ -75,7 +75,7 @@ class CheckpointModeSpec extends SparkSpec {
     val every = withReliable(d1.toString) {
       (TextOps.connectedComponents(edges, driverMaxEdges = 0)
         .collect().toSet,
-        TextOps.pageRank(edges, iters = 5, damping = 0.85).collect().toSeq)
+        TextOps.pageRank(edges, iters = 5, damping = 0.85, driverMaxEdges = 0).collect().toSeq)
     }
     // arm B: durable cut every 3rd round — carried rounds keep lineage
     val d3 = java.nio.file.Files.createTempDirectory("graft-ckpt-i3")
@@ -83,13 +83,13 @@ class CheckpointModeSpec extends SparkSpec {
     val spaced = try withReliable(d3.toString) {
       (TextOps.connectedComponents(edges, driverMaxEdges = 0)
         .collect().toSet,
-        TextOps.pageRank(edges, iters = 5, damping = 0.85).collect().toSeq)
+        TextOps.pageRank(edges, iters = 5, damping = 0.85, driverMaxEdges = 0).collect().toSeq)
     } finally spark.conf.unset(intervalKey)
     assert(spaced == every, "interval mode changed results")
     // the local (no-checkpoint-dir) baseline agrees too
     val local = (TextOps.connectedComponents(edges, driverMaxEdges = 0)
       .collect().toSet,
-      TextOps.pageRank(edges, iters = 5, damping = 0.85).collect().toSeq)
+      TextOps.pageRank(edges, iters = 5, damping = 0.85, driverMaxEdges = 0).collect().toSeq)
     assert(spaced == local)
     val (w1, w3) = (rddDirs(d1), rddDirs(d3))
     assert(w3 < w1,
@@ -104,7 +104,7 @@ class CheckpointModeSpec extends SparkSpec {
     spark.conf.set(TextOps.CheckpointIntervalKey, "2s")
     val e = try intercept[IllegalArgumentException] {
       withReliable(dir.toString) {
-        TextOps.pageRank(edges, iters = 2, damping = 0.85).collect()
+        TextOps.pageRank(edges, iters = 2, damping = 0.85, driverMaxEdges = 0).collect()
       }
     } finally spark.conf.unset(TextOps.CheckpointIntervalKey)
     assert(e.getMessage.contains(TextOps.CheckpointIntervalKey) &&
@@ -116,7 +116,7 @@ class CheckpointModeSpec extends SparkSpec {
       "re-derived per truncate call") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-one")
     withReliable(dir.toString) {
-      TextOps.pageRank(edges, iters = 3, damping = 0.85).collect()
+      TextOps.pageRank(edges, iters = 3, damping = 0.85, driverMaxEdges = 0).collect()
     }
     // setCheckpointDir creates ONE uuid subdir; every round's rdd-*
     // must land inside it (a fresh subdir per round would mean the

@@ -77,7 +77,10 @@ class RetryDeterminismSpec extends SparkSpec {
       val edges = TextOps.cachedVerifiedPairs(spark, sf,
         k = 16, bands = 4, threshold = 0.5).select("doc_a", "doc_b")
       val e = if (inject) failFirstAttempt(edges, "x33") else edges
-      collectSorted(TextOps.pageRank(e, iters = 10, damping = 0.85))
+      // force the distributed loop — the retry-inside-a-round hazard
+      // this spec pins does not exist on the driver fast path
+      collectSorted(
+        TextOps.pageRank(e, iters = 10, damping = 0.85, driverMaxEdges = 0))
     }
     val clean = ranks(inject = false)
     val retried = ranks(inject = true)
