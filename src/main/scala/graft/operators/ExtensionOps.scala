@@ -1025,18 +1025,22 @@ object ExtensionOps {
           emitted.select(unix_micros(col("w.start")).as("ws"),
             col("event_type"), col("bkt"), col("rmax")),
           "ws", "event_type")
-        val ev = EventStream.readEvents(s, d)
-        val wm = ev.agg((expr("unix_micros(max(ts)) div 1000")
-          - lit(7200000L)).as("wm_ms"))
-        val exact = ev
+        // r15 optimization (guide §1.2: don't compute what you throw
+        // away): the engine-side closure filter that mirrored the
+        // oracle's `ws + 1h <= wm` predicate was REDUNDANT with the
+        // inner join below — `est` holds exactly the append-mode
+        // emitted (= watermark-closed) windows, the same equivalence
+        // z8 has leaned on since it shipped (its engine side carries
+        // no closure filter at all; only the oracle replays the
+        // predicate). Dropping the filter removes a second full scan
+        // of events (the global max(ts) aggregation) plus a broadcast
+        // build per run; the oracle is unchanged and still applies
+        // the predicate independently.
+        val exact = EventStream.readEvents(s, d)
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(countDistinct("user_id").as("n_exact"))
           .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
             col("n_exact"))
-          .crossJoin(broadcast(wm))
-          // integer div, mirroring the oracle's `ws // 1000` exactly
-          .filter(expr("ws div 1000") + lit(3600000L) <= col("wm_ms"))
-          .drop("wm_ms")
         exact.join(est, Seq("ws", "event_type"))
           .select(col("ws"), col("event_type"), col("n_exact"),
             col("n_hll"),
