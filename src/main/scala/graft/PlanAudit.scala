@@ -15,11 +15,10 @@ object PlanAudit {
         "o1_topk", "y1_cosine_topk", "a2_group_count", "sp1_stratified_split",
         "x4_dedup_exact", "x6_minhash_dedup", "z3_events_hourly")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // mirror the bench session's conf (Sessions.builder) so audited
+    // plans are the plans the bench runs — incl. the bucketed-scan
+    // ordering conf j7's sort elision depends on
+    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>

@@ -46,6 +46,16 @@ object Sessions {
       .master(m)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", shuffleParts))
+      // r15 optimization (guide §6): let the bucketed+sortBy fixture
+      // layout (j6/j7) actually pay off — since SPARK-28595 the scan
+      // only REPORTS its bucket sort order behind this conf, so without
+      // it every read of the sorted fixture re-pays both SortMergeJoin
+      // sorts. Safe by construction: Spark still verifies one file per
+      // bucket before claiming the order (multi-file buckets report
+      // none), and ScaleUtils.bucketedPair now writes exactly one file
+      // per bucket. Plan diff: j7's two Sort nodes above the scans drop
+      // (plans/r15/j7_bucketed_join_{before,after}.txt).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
     if (m.startsWith("local-cluster")) {
       b.config("spark.executor.extraClassPath",

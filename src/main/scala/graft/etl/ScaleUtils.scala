@@ -112,7 +112,16 @@ object ScaleUtils {
         }
         rm(loc)
       }
-      df.write.mode("overwrite")
+      // r15 optimization (guide §6, layout on write): one FILE per
+      // bucket. Spark only propagates the bucketed sortBy order to the
+      // scan when every bucket holds a single file (multiple files per
+      // bucket would need a merge the scan node does not do), so a
+      // multi-task write silently re-pays BOTH SortMergeJoin sorts on
+      // every read of the pay-once fixture. Repartitioning by the
+      // bucket key's own hash before the write lands each bucket in
+      // exactly one writer task ⇒ one file ⇒ the join plan drops its
+      // Sort nodes (plans/r15/j7_bucketed_join_{before,after}.txt).
+      df.repartition(buckets, col(key)).write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet")
         .saveAsTable(name)
