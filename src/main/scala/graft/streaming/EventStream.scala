@@ -73,6 +73,28 @@ object EventStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** r15 optimization (guide §1.2: don't run work whose output is
+    * discarded): disable the trailing NO-DATA micro-batch for the two
+    * stateful shapes where it cannot emit anything — the stream-stream
+    * INNER join (matches emit on arrival; the watermark batch only
+    * evicts buffered state) and watermark dedup (first occurrence
+    * emits on arrival; ditto). For those, the extra batch is a full
+    * planning + WAL-commit + per-shard state-store load/commit cycle
+    * (4 stores × shards for the join) that produces zero rows; in a
+    * continuous deployment the eviction it performs happens on the
+    * next DATA batch anyway, so skipping it trades only transient
+    * state-retention latency — the documented purpose of the conf.
+    * NOT applied to any query whose semantics NEED the watermark
+    * batch: append-mode window/session aggregations emit their final
+    * windows in it, and mapGroups/flatMapGroups timeouts fire in it.
+    * Conf is read at query start; restore cannot race the batches. */
+  private[graft] def withoutNoDataBatches[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run an append-mode stream to completion through a FILE sink and
     * read the result back. The memory sink serializes every output row
     * through the driver (a collect in disguise) — at the ×1000 blow-up
@@ -831,7 +853,11 @@ object EventStream {
       stateShards: Int = DefaultStateShards,
       keys: Seq[String] = Seq("user_id", "event_type", "ts")): DataFrame =
     withStateShards(spark, stateShards) {
-      runAppendToParquet(spark, dedupStream(spark, sfDir, keys), queryName)
+      // first occurrence emits on arrival; the no-data batch could only
+      // evict state, never emit (see withoutNoDataBatches)
+      withoutNoDataBatches(spark) {
+        runAppendToParquet(spark, dedupStream(spark, sfDir, keys), queryName)
+      }
     }
 
   /** Run the windowed-count stream to completion (AvailableNow) into an
@@ -960,7 +986,11 @@ object EventStream {
       queryName: String = "event_join", windowHours: Int = 6,
       stateShards: Int = DefaultStateShards): DataFrame =
     withStateShards(spark, stateShards) {
-      runAppendToParquet(spark, streamIntervalJoin(spark, sfDir, windowHours),
-        queryName)
+      // inner-join matches emit on arrival; the no-data batch could
+      // only evict the four stores' state (see withoutNoDataBatches)
+      withoutNoDataBatches(spark) {
+        runAppendToParquet(spark,
+          streamIntervalJoin(spark, sfDir, windowHours), queryName)
+      }
     }
 }
