@@ -56,6 +56,24 @@ object Sessions {
       // per bucket. Plan diff: j7's two Sort nodes above the scans drop
       // (plans/r15/j7_bucketed_join_{before,after}.txt).
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // r16 optimization (guide §2.1/§2.4): let AQE coalesce INSIDE a
+      // plan that is about to be persisted, so cached fixtures land at
+      // a byte-derived partition count instead of freezing the session's
+      // shuffle width (= core count in local mode) into every cached
+      // frame. Spark's default forbids it only to keep a cached frame's
+      // output partitioning stable for downstream co-partitioning
+      // consumers — no fixture consumer here relies on that (every
+      // contract query declares its own ORDER BY, and joins replan via
+      // AQE). Measured at sf0.1/32 cores: the kB-sized sketch fixtures
+      // were cached at 32 partitions and every read paid a 32-task scan
+      // (x34 warm-pass summed executor time 5.5 s -> 0.3 s, x36 3.9 ->
+      // 0.3, x35 2.7 -> 0.1; wall min-of-legs x36 0.73 -> 0.52, x35
+      // 0.59 -> 0.45, y4 1.90 -> 1.48, zero regressions across the
+      // 8-query interleaved A/B, plans/r16/cached_part_ab.csv). At
+      // 100 TB the same rule grows cached width with the bytes — the
+      // data-derived discipline, not a core-count tune.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
     if (m.startsWith("local-cluster")) {
       b.config("spark.executor.extraClassPath",

@@ -1092,8 +1092,22 @@ object TextOps {
       lastCcRounds = -1
       return labeled.toDF("doc_id", "component")
     }
+    // r16 optimization (guide §2.4, the pageRank biDeg treatment): the
+    // bidirectional edge frame is scanned by the propagation join EVERY
+    // round, and a checkpoint scan is not a shuffle read so AQE can
+    // never coalesce it — without an explicit layout the union pins
+    // 2 × shuffle-width partitions (64 tasks/round of scheduling
+    // overhead on a kB-sized dup graph). Repartition BY THE JOIN KEY
+    // (`v` — the propagation join below is on v) at a size-derived
+    // width before the checkpoint: a tiny graph collapses to 1
+    // partition, a 100 TB near-dup graph grows with its bytes, and the
+    // hash layout lets every round's join reuse bi's partitioning
+    // instead of re-exchanging the (large) edge side.
     val bi = truncate(e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+      .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .repartition(
+        graft.etl.ScaleUtils.rowPartitions(2L * nEdges, bytesPerRow = 16),
+        col("v")))
     // seed with min(self, neighbors) — the first propagation round for
     // the price of one groupBy, no join against an identity labeling
     var labels = truncate(bi.groupBy("u")
