@@ -48,6 +48,24 @@ object CcLoopProbe {
           QueryTime.contentChecksum(graft.operators.TextOps
             .connectedComponents(edges, driverMaxEdges = 0))}")
     }
+    // pageRank's distributed loop under the same forcing (VERDICT r15
+    // ask #5 — the loop the driver gate hides from the bench; the row
+    // BENCH_SCALES §r16 quotes): x33's exact geometry, 10 rounds, 0.85.
+    (1 to 2).foreach { pass =>
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      tasks.set(0); stages.set(0)
+      val t0 = System.nanoTime()
+      val pr = graft.operators.TextOps
+        .pageRank(edges, iters = 10, damping = 0.85, driverMaxEdges = 0)
+      val n = Force(pr)
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      println(f"[prprobe] pass=$pass wall=$wall%.2fs stages=${stages.get} " +
+        f"tasks=${tasks.get} rows=$n checksum=${
+          QueryTime.contentChecksum(graft.operators.TextOps
+            .pageRank(edges, iters = 10, damping = 0.85,
+              driverMaxEdges = 0))}")
+    }
     spark.stop()
   }
 }

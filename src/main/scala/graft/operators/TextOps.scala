@@ -531,7 +531,7 @@ object TextOps {
     * remaining 56 (57 when they are all zero). Carry columns pass
     * through untouched. rho goes through floor(log2(double)) — the
     * identical IEEE long→double rounding the DuckDB oracle takes. */
-  private[operators] def hllBktRho(df: DataFrame,
+  private[graft] def hllBktRho(df: DataFrame,
       carry: String*): DataFrame = {
     val c = carry.map(col)
     df.select(c :+ expr(s"shiftrightunsigned(h, ${64 - HllP})").as("bkt") :+
@@ -550,7 +550,7 @@ object TextOps {
     * boundary). Shared by x34 (token distinct per source) and z23
     * (streamed user distinct per event type) so the two sketches can
     * never drift apart. */
-  private[operators] def hllEstimate(regs: DataFrame,
+  private[graft] def hllEstimate(regs: DataFrame,
       keys: String*): DataFrame = {
     val m = HllM
     val alphaMM = HllAlphaMM
@@ -747,10 +747,18 @@ object TextOps {
   private[graft] def exactOrderStats(df: DataFrame, key: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val wRk = Window.partitionBy(key).orderBy("v")
-    val wAll = Window.partitionBy(key)
+    // r16 optimization (guide §2.3/§1.2, z25's dominant batch-arm cost):
+    // the per-key total used to be a SECOND window (unbounded count
+    // frame) stacked on the rank window — a full extra buffering pass
+    // over every input row. A pre-aggregated broadcast join computes
+    // the identical `nn` (count per key, map-side partial agg + a
+    // key-cardinality-sized broadcast) without ever re-buffering the
+    // big side; the k-th order statistic itself is tie-insensitive, so
+    // results are bit-identical (oracle unchanged).
+    val counts = df.groupBy(key).agg(Fn.count(lit(1)).as("nn"))
     val ranked = df
       .withColumn("rk", row_number().over(wRk))
-      .withColumn("nn", Fn.count(lit(1)).over(wAll))
+      .join(broadcast(counts), Seq(key))
     val picks = ps.map { case (lbl, p) =>
       Fn.max(when(col("rk") ===
         greatest(lit(1L), ceil(lit(p) * col("nn"))), col("v"))).as(s"x$lbl")

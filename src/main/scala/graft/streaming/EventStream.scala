@@ -30,8 +30,13 @@ object EventStream {
   /** Default state-store shard count for the bounded AvailableNow
     * runners: sized to the tiny test-corpus state. Every runner takes
     * a `stateShards` override — the per-query dial a deployment turns
-    * up with state volume. */
-  val DefaultStateShards: Int = 8
+    * up with state volume. `SPARK_GRAFT_STATE_SHARDS` overrides the
+    * default process-wide (r16): the experimentation/deployment knob
+    * for sizing shards to live state × available cores without a
+    * rebuild, same pattern as `SPARK_GRAFT_SHUFFLE`. Local default
+    * stays 8 so the driver's bench is comparable round over round. */
+  val DefaultStateShards: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_SHARDS", "8").toInt
 
   /** Live-key estimate feeding `StateStores.configure` (the measured
     * in-heap/RocksDB rule) for the engine's BOUNDED AvailableNow
