@@ -295,6 +295,17 @@ object SimilarityOps {
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))
     lshScoredCandidates(e, maxQid, capPerBucket, chainK)
+      // r16 optimization (guide §2.4, one exchange instead of two): the
+      // candidate multiset used to cross the wire twice — once for the
+      // distinct's hash(qid, nid, cos) exchange, once for the top-k
+      // window's hash(qid) exchange. Hash-partitioning by qid ALONE
+      // satisfies BOTH downstream distributions (same-key rows are
+      // colocated for the distinct — Spark's subset-clustering rule —
+      // and the window needs exactly this partitioning), so one
+      // explicit repartition carries the distinct AND the window with
+      // zero further exchanges. AQE still right-sizes it (a keyed
+      // repartition is a coalescible shuffle read).
+      .repartition(col("qid"))
       .distinct() // collapse multi-table duplicates (cos is deterministic)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
